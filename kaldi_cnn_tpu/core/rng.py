@@ -21,8 +21,16 @@ def stage_seed(base_seed: int, stage: str, index: int = 0) -> int:
     return int.from_bytes(h[:8], "little") & 0x7FFFFFFF
 
 
-def stage_key(base_seed: int, stage: str, index: int = 0) -> jax.Array:
-    return jax.random.PRNGKey(stage_seed(base_seed, stage, index))
+def stage_key(base_seed: int, stage: str, index: int = 0) -> np.ndarray:
+    """A threefry key as a host numpy uint32[2] (PRNGKey layout).
+
+    Constructed WITHOUT any device op: on this image every eager
+    dispatch to the (tunneled) TPU costs ~1 s, so key derivation must
+    never touch the device; jax.random.* accepts these directly and
+    the key materializes on-device only inside jitted code.
+    """
+    s = stage_seed(base_seed, stage, index)
+    return np.array([s >> 32, s & 0xFFFFFFFF], dtype=np.uint32)
 
 
 def np_rng(base_seed: int, stage: str, index: int = 0) -> np.random.Generator:
