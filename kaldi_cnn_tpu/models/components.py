@@ -1,0 +1,494 @@
+"""nnet2-style components as stateless config objects + param pytrees.
+
+Mirrors the Component contract of src/nnet2/nnet-component.{h,cc}
+(Propagate / Backprop, with the component seeing its minibatch
+in_value/out_value/out_deriv) — the explicit backprop walk is what lets
+AffineComponentPreconditionedOnline-style layers precondition the raw
+minibatch row spaces (NG-SGD) rather than a summed gradient.
+
+Data convention: minibatch matrices are [N, dim] float32 rows, like the
+reference's CuMatrix minibatches.  Conv2D/Maxpool3D interpret the flat
+row as a (time, freq, channel) volume — the fork's CNN layout
+(Conv2DComponent / 3-D MaxpoolingComponent per BASELINE.json).
+
+Each component implements:
+  init(key) -> params dict (possibly empty)
+  forward(params, x, train=False, key=None) -> (y, aux)
+  backprop(params, in_value, out_value, out_deriv, aux) -> in_deriv
+Trainable components additionally implement:
+  init_opt(ng_factory) -> opt_state pytree
+  update(params, opt, in_value, out_deriv, lr, ngs) -> (params', opt')
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_cnn_tpu.models.ng_sgd import NGState, OnlineNaturalGradient
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _ng_affine_update(params, opt, in_value, out_deriv, lr, ng_in, ng_out,
+                      max_change: float):
+    """Shared NG-SGD update for affine-like weight matrices.
+
+    (ref: nnet-component.cc AffineComponentPreconditionedOnline::Update:
+    extend input rows with 1.0 for the bias, precondition both row
+    spaces, delta = deriv_hatᵀ @ in_hat, clip by max_change.)
+    """
+    n = in_value.shape[0]
+    ones = jnp.ones((n, 1), jnp.float32)
+    in_ext = jnp.concatenate([in_value, ones], axis=1)
+    in_hat, opt_in = ng_in.precondition(opt["ng_in"], in_ext)
+    deriv_hat, opt_out = ng_out.precondition(opt["ng_out"], out_deriv)
+    # no 1/N here: the objf derivative is already per-frame normalized
+    # (the trainer divides by the weight sum), matching the reference
+    # where objf is per-minibatch and lr absorbs scale
+    delta = deriv_hat.T @ in_hat                  # [out, in+1]
+    if max_change > 0:
+        norm = jnp.sqrt(jnp.sum(delta * delta)) * jnp.abs(lr)
+        scale = jnp.minimum(1.0, max_change / jnp.maximum(norm, 1e-20))
+    else:
+        scale = 1.0
+    step = lr * scale
+    new_params = dict(params)
+    new_params["w"] = params["w"] + step * delta[:, :-1]
+    new_params["b"] = params["b"] + step * delta[:, -1]
+    return new_params, {"ng_in": opt_in, "ng_out": opt_out}
+
+
+@dataclass(frozen=True)
+class AffineComponent:
+    """(ref: AffineComponent / AffineComponentPreconditionedOnline)."""
+
+    input_dim: int
+    output_dim: int
+    param_stddev: Optional[float] = None    # default: 1/sqrt(input_dim)
+    bias_stddev: float = 1.0
+    max_change: float = 0.75                # max-change-per-minibatch
+    trainable: bool = True
+
+    def init(self, key) -> Params:
+        std = (self.param_stddev if self.param_stddev is not None
+               else 1.0 / math.sqrt(self.input_dim))
+        k1, k2 = jax.random.split(key)
+        w = std * jax.random.normal(k1, (self.output_dim, self.input_dim),
+                                    jnp.float32)
+        b = self.bias_stddev * jax.random.normal(k2, (self.output_dim,),
+                                                 jnp.float32)
+        return {"w": w, "b": b}
+
+    def forward(self, params, x, train=False, key=None):
+        return x @ params["w"].T + params["b"], None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv @ params["w"]
+
+    def init_opt(self, ng_in: OnlineNaturalGradient,
+                 ng_out: OnlineNaturalGradient):
+        return {"ng_in": ng_in.init(self.input_dim + 1),
+                "ng_out": ng_out.init(self.output_dim)}
+
+    def update(self, params, opt, in_value, out_deriv, lr, ng_in, ng_out):
+        return _ng_affine_update(params, opt, in_value, out_deriv, lr,
+                                 ng_in, ng_out, self.max_change)
+
+
+@dataclass(frozen=True)
+class FixedAffineComponent:
+    """Non-trainable affine, e.g. the LDA-like preprocessing transform
+    (ref: FixedAffineComponent from get-feature-transform)."""
+
+    matrix: tuple  # ((out, in) array bytes handled via init)
+    trainable: bool = False
+    input_dim: int = 0
+    output_dim: int = 0
+
+    @staticmethod
+    def from_matrix(mat: np.ndarray, bias: Optional[np.ndarray] = None
+                    ) -> "FixedAffineComponent":
+        out_dim, in_dim = mat.shape
+        b = np.zeros(out_dim, np.float32) if bias is None else bias
+        c = FixedAffineComponent(matrix=(), input_dim=in_dim,
+                                 output_dim=out_dim)
+        object.__setattr__(c, "_w", jnp.asarray(mat, jnp.float32))
+        object.__setattr__(c, "_b", jnp.asarray(b, jnp.float32))
+        return c
+
+    def init(self, key) -> Params:
+        return {"w": self._w, "b": self._b}
+
+    def forward(self, params, x, train=False, key=None):
+        return x @ params["w"].T + params["b"], None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv @ params["w"]
+
+
+@dataclass(frozen=True)
+class TanhComponent:
+    dim: int
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        return jnp.tanh(x), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv * (1.0 - out_value * out_value)
+
+
+@dataclass(frozen=True)
+class SigmoidComponent:
+    dim: int
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        return jax.nn.sigmoid(x), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv * out_value * (1.0 - out_value)
+
+
+@dataclass(frozen=True)
+class RectifiedLinearComponent:
+    dim: int
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        return jnp.maximum(x, 0.0), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv * (out_value > 0.0)
+
+
+@dataclass(frozen=True)
+class PnormComponent:
+    """Group p-norm nonlinearity (ref: PnormComponent, p=2 in the
+    p-norm recipes: steps/nnet2/train_pnorm_*.sh)."""
+
+    input_dim: int
+    output_dim: int
+    p: float = 2.0
+    trainable: bool = False
+
+    def __post_init__(self):
+        assert self.input_dim % self.output_dim == 0
+
+    @property
+    def group_size(self) -> int:
+        return self.input_dim // self.output_dim
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        n = x.shape[0]
+        g = x.reshape(n, self.output_dim, self.group_size)
+        y = jnp.power(jnp.sum(jnp.power(jnp.abs(g), self.p), axis=2) + 1e-20,
+                      1.0 / self.p)
+        return y, None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        n = in_value.shape[0]
+        g = in_value.reshape(n, self.output_dim, self.group_size)
+        y = jnp.maximum(out_value, 1e-10)[:, :, None]
+        dy = out_deriv[:, :, None]
+        dx = dy * jnp.sign(g) * jnp.power(jnp.abs(g) / y, self.p - 1.0)
+        return dx.reshape(n, self.input_dim)
+
+
+@dataclass(frozen=True)
+class NormalizeComponent:
+    """Row RMS normalization (ref: NormalizeComponent: y = x / rms(x),
+    stabilizes p-norm nets)."""
+
+    dim: int
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        rms = jnp.sqrt(jnp.mean(x * x, axis=1, keepdims=True) + 1e-20)
+        return x / rms, None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        d = in_value.shape[1]
+        rms = jnp.sqrt(jnp.mean(in_value * in_value, axis=1,
+                                keepdims=True) + 1e-20)
+        dot = jnp.sum(out_deriv * in_value, axis=1, keepdims=True)
+        return out_deriv / rms - in_value * dot / (d * rms ** 3)
+
+
+@dataclass(frozen=True)
+class SoftmaxComponent:
+    dim: int
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        return jax.nn.softmax(x, axis=1), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        dot = jnp.sum(out_deriv * out_value, axis=1, keepdims=True)
+        return out_value * (out_deriv - dot)
+
+
+@dataclass(frozen=True)
+class DropoutComponent:
+    dim: int
+    proportion: float = 0.5    # probability of zeroing
+    trainable: bool = False
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        if not train or key is None or self.proportion <= 0.0:
+            return x, jnp.ones_like(x)
+        keep = 1.0 - self.proportion
+        mask = (jax.random.uniform(key, x.shape) < keep) / keep
+        return x * mask, mask
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv * aux
+
+
+@dataclass(frozen=True)
+class SpliceComponent:
+    """Frame splicing over time for whole-utterance inference
+    (ref: SpliceComponent; in training the egs are pre-spliced like
+    nnet-get-egs)."""
+
+    input_dim: int
+    left_context: int
+    right_context: int
+    trainable: bool = False
+
+    @property
+    def output_dim(self) -> int:
+        return self.input_dim * (self.left_context + self.right_context + 1)
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        t = x.shape[0]
+        offs = np.arange(-self.left_context, self.right_context + 1)
+        idx = np.clip(np.arange(t)[:, None] + offs[None, :], 0, t - 1)
+        return x[idx].reshape(t, -1), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        raise NotImplementedError("SpliceComponent is inference-only; "
+                                  "egs are pre-spliced for training")
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_patch_indices(in_t, in_f, in_c, filt_t, filt_f,
+                        stride_t, stride_f) -> np.ndarray:
+    out_t = (in_t - filt_t) // stride_t + 1
+    out_f = (in_f - filt_f) // stride_f + 1
+    ot = np.arange(out_t)[:, None, None, None, None]
+    of = np.arange(out_f)[None, :, None, None, None]
+    dt = np.arange(filt_t)[None, None, :, None, None]
+    df = np.arange(filt_f)[None, None, None, :, None]
+    c = np.arange(in_c)[None, None, None, None, :]
+    t = ot * stride_t + dt
+    f = of * stride_f + df
+    idx = (t * in_f + f) * in_c + c
+    idx = np.broadcast_to(idx, (out_t, out_f, filt_t, filt_f, in_c))
+    return np.ascontiguousarray(
+        idx.reshape(out_t * out_f, filt_t * filt_f * in_c)).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class Conv2DComponent:
+    """2-D convolution over the (time, freq) plane of spliced fbank
+    patches — the fork's Conv2DComponent reborn (per BASELINE.json; the
+    upstream analogue is Convolutional1dComponent in
+    src/nnet2/nnet-component.cc implemented as patch-gather + GEMM).
+
+    Input rows are flattened [in_t, in_f, in_c] volumes; output rows are
+    flattened [out_t, out_f, num_filters].  Forward = im2col + one GEMM
+    (the exact shape the fused Pallas kernel implements; see
+    kaldi_cnn_tpu.ops.conv_pallas).
+    """
+
+    in_t: int
+    in_f: int
+    in_c: int
+    filt_t: int
+    filt_f: int
+    num_filters: int
+    stride_t: int = 1
+    stride_f: int = 1
+    param_stddev: Optional[float] = None
+    max_change: float = 0.75
+    trainable: bool = True
+    use_pallas: bool = False
+
+    @property
+    def out_t(self) -> int:
+        return (self.in_t - self.filt_t) // self.stride_t + 1
+
+    @property
+    def out_f(self) -> int:
+        return (self.in_f - self.filt_f) // self.stride_f + 1
+
+    @property
+    def patch_dim(self) -> int:
+        return self.filt_t * self.filt_f * self.in_c
+
+    @property
+    def num_patches(self) -> int:
+        return self.out_t * self.out_f
+
+    @property
+    def input_dim(self) -> int:
+        return self.in_t * self.in_f * self.in_c
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_patches * self.num_filters
+
+    def _patch_indices(self) -> np.ndarray:
+        """[num_patches, patch_dim] gather indices into the flat input."""
+        return _conv_patch_indices(
+            self.in_t, self.in_f, self.in_c, self.filt_t, self.filt_f,
+            self.stride_t, self.stride_f)
+
+    def init(self, key) -> Params:
+        std = (self.param_stddev if self.param_stddev is not None
+               else 1.0 / math.sqrt(self.patch_dim))
+        k1, k2 = jax.random.split(key)
+        w = std * jax.random.normal(
+            k1, (self.num_filters, self.patch_dim), jnp.float32)
+        b = 0.1 * jax.random.normal(k2, (self.num_filters,), jnp.float32)
+        return {"w": w, "b": b}
+
+    def extract_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[N, input_dim] -> [N, num_patches, patch_dim]."""
+        return x[:, self._patch_indices()]
+
+    def forward(self, params, x, train=False, key=None):
+        if self.use_pallas:
+            from kaldi_cnn_tpu.ops.conv_pallas import conv2d_pallas
+            y = conv2d_pallas(x, params["w"], params["b"], self)
+            return y.reshape(x.shape[0], self.output_dim), None
+        patches = self.extract_patches(x)                  # [N, P, K]
+        y = jnp.einsum("npk,fk->npf", patches, params["w"],
+                       preferred_element_type=jnp.float32) + params["b"]
+        return y.reshape(x.shape[0], self.output_dim), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        n = in_value.shape[0]
+        d = out_deriv.reshape(n, self.num_patches, self.num_filters)
+        dpatches = jnp.einsum("npf,fk->npk", d, params["w"],
+                              preferred_element_type=jnp.float32)
+        # scatter-add patches back to the flat input layout
+        idx = self._patch_indices().reshape(-1)            # [P*K]
+        flat = dpatches.reshape(n, -1)
+        in_deriv = jnp.zeros((n, self.input_dim), jnp.float32)
+        return in_deriv.at[:, idx].add(flat)
+
+    # NG update treats each patch row as a data row, like the affine
+    # layers (ref: Convolutional1dComponent::Update flattens patches)
+    def init_opt(self, ng_in: OnlineNaturalGradient,
+                 ng_out: OnlineNaturalGradient):
+        return {"ng_in": ng_in.init(self.patch_dim + 1),
+                "ng_out": ng_out.init(self.num_filters)}
+
+    def update(self, params, opt, in_value, out_deriv, lr, ng_in, ng_out):
+        n = in_value.shape[0]
+        patches = self.extract_patches(in_value).reshape(-1, self.patch_dim)
+        d = out_deriv.reshape(-1, self.num_filters)
+        return _ng_affine_update(params, opt, patches, d,
+                                 lr, ng_in, ng_out, self.max_change)
+
+
+@dataclass(frozen=True)
+class Maxpooling3DComponent:
+    """3-D max pooling over (time, freq, channel) — the fork's
+    MaxpoolingComponent (per BASELINE.json: 3-D pooling with custom CUDA
+    kernels; here a reshape+max with exact subgradient backprop, and a
+    fused Pallas version in ops/).  Pool sizes must divide the dims."""
+
+    in_t: int
+    in_f: int
+    in_c: int
+    pool_t: int = 1
+    pool_f: int = 1
+    pool_c: int = 1
+    trainable: bool = False
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        assert self.in_t % self.pool_t == 0
+        assert self.in_f % self.pool_f == 0
+        assert self.in_c % self.pool_c == 0
+
+    @property
+    def out_t(self):
+        return self.in_t // self.pool_t
+
+    @property
+    def out_f(self):
+        return self.in_f // self.pool_f
+
+    @property
+    def out_c(self):
+        return self.in_c // self.pool_c
+
+    @property
+    def input_dim(self):
+        return self.in_t * self.in_f * self.in_c
+
+    @property
+    def output_dim(self):
+        return self.out_t * self.out_f * self.out_c
+
+    def init(self, key) -> Params:
+        return {}
+
+    def _blocks(self, x):
+        n = x.shape[0]
+        v = x.reshape(n, self.out_t, self.pool_t, self.out_f, self.pool_f,
+                      self.out_c, self.pool_c)
+        return v
+
+    def forward(self, params, x, train=False, key=None):
+        if self.use_pallas:
+            from kaldi_cnn_tpu.ops.maxpool_pallas import maxpool3d_pallas
+            return maxpool3d_pallas(x, self), None
+        y = self._blocks(x).max(axis=(2, 4, 6))
+        return y.reshape(x.shape[0], self.output_dim), None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        n = in_value.shape[0]
+        v = self._blocks(in_value)
+        y = out_value.reshape(n, self.out_t, 1, self.out_f, 1, self.out_c, 1)
+        d = out_deriv.reshape(n, self.out_t, 1, self.out_f, 1, self.out_c, 1)
+        mask = (v == y)
+        # split ties evenly (subgradient; the reference assigns to all)
+        count = jnp.sum(mask, axis=(2, 4, 6), keepdims=True)
+        dx = jnp.where(mask, d / jnp.maximum(count, 1), 0.0)
+        return dx.reshape(n, self.input_dim)

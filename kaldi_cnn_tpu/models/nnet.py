@@ -1,0 +1,189 @@
+"""Nnet = ordered component list + the minibatch train step.
+
+Mirrors src/nnet2/nnet-nnet.{h,cc} (Nnet), nnet-update.{h,cc}
+(NnetUpdater::ComputeForMinibatch — THE training hot loop) and
+am-nnet.{h,cc} (AmNnet = Nnet + pdf priors):
+
+  forward:  x -> comp_0 -> ... -> comp_{L-1} (softmax posteriors)
+  objf:     mean_n log p(label_n)   (cross-entropy, maximized)
+  backward: out_deriv at the softmax OUTPUT is one_hot/(N*post) like the
+            reference feeds its last component; each component's
+            Backprop maps (in_value, out_value, out_deriv) -> in_deriv;
+            trainable components update from their raw minibatch row
+            spaces with NG-SGD.
+
+The whole step — forward, backward, NG preconditioning, parameter
+update — is one jit-compiled function; there is no Python in the loop
+(the reference's DoBackpropParallel thread pool collapses into XLA
+batch parallelism, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_cnn_tpu.models.ng_sgd import OnlineNaturalGradient
+
+
+class Nnet:
+    def __init__(self, components: Sequence[Any],
+                 ng_rank_in: int = 20, ng_rank_out: int = 80,
+                 ng_update_period: int = 4):
+        self.components = list(components)
+        # ranks per the reference defaults (train_pnorm_simple.sh:
+        # --precondition-rank-in 20 --precondition-rank-out 80)
+        self.ng_in = OnlineNaturalGradient(rank=ng_rank_in,
+                                           update_period=ng_update_period)
+        self.ng_out = OnlineNaturalGradient(rank=ng_rank_out,
+                                            update_period=ng_update_period)
+        self._train_step_cache: Dict[Any, Any] = {}
+
+    # -- dims --------------------------------------------------------------
+    @property
+    def input_dim(self) -> int:
+        for c in self.components:
+            d = getattr(c, "input_dim", None) or getattr(c, "dim", None)
+            if d:
+                return d
+        raise ValueError("no dimensioned component")
+
+    @property
+    def output_dim(self) -> int:
+        for c in reversed(self.components):
+            d = getattr(c, "output_dim", None) or getattr(c, "dim", None)
+            if d:
+                return d
+        raise ValueError("no dimensioned component")
+
+    # -- params / opt state ------------------------------------------------
+    def init(self, key) -> Tuple:
+        # one jit for the whole init: eager per-op dispatch on the
+        # tunneled TPU costs ~1 s/op (20+ s for a deep net)
+        def _init(key):
+            keys = jax.random.split(key, len(self.components))
+            return tuple(c.init(k) for c, k in zip(self.components, keys))
+        return jax.jit(_init)(key)
+
+    def init_opt(self) -> Tuple:
+        out = []
+        for c in self.components:
+            if getattr(c, "trainable", False):
+                out.append(c.init_opt(self.ng_in, self.ng_out))
+            else:
+                out.append({})
+        return tuple(out)
+
+    # -- forward -----------------------------------------------------------
+    def forward(self, params, x, train: bool = False, key=None):
+        """Returns (output, activations, auxs); activations[i] is the
+        INPUT of component i (activations[L] = final output)."""
+        acts = [x]
+        auxs = []
+        for i, c in enumerate(self.components):
+            k = None
+            if train and key is not None:
+                k = jax.random.fold_in(key, i)
+            y, aux = c.forward(params[i], acts[-1], train=train, key=k)
+            acts.append(y)
+            auxs.append(aux)
+        return acts[-1], acts, auxs
+
+    def predict(self, params, x):
+        y, _, _ = self.forward(params, x, train=False)
+        return y
+
+    # -- the train step ----------------------------------------------------
+    def _train_step_impl(self, params, opt, x, labels, weights, lr, key):
+        n = x.shape[0]
+        out, acts, auxs = self.forward(params, x, train=True, key=key)
+        post = jnp.maximum(out, 1e-20)
+        picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
+        wsum = jnp.maximum(jnp.sum(weights), 1e-8)
+        objf = jnp.sum(jnp.log(picked) * weights) / wsum
+        # deriv of (sum_n w_n log out[n, label_n]) / wsum wrt out
+        one_hot = jax.nn.one_hot(labels, out.shape[1], dtype=jnp.float32)
+        out_deriv = one_hot * (weights / wsum)[:, None] / picked[:, None]
+
+        new_params = list(params)
+        new_opt = list(opt)
+        deriv = out_deriv
+        for i in range(len(self.components) - 1, -1, -1):
+            c = self.components[i]
+            in_value, out_value = acts[i], acts[i + 1]
+            if getattr(c, "trainable", False):
+                new_params[i], new_opt[i] = c.update(
+                    params[i], opt[i], in_value, deriv, lr,
+                    self.ng_in, self.ng_out)
+            if i > 0:
+                deriv = c.backprop(params[i], in_value, out_value, deriv,
+                                   auxs[i])
+        return tuple(new_params), tuple(new_opt), objf
+
+    def train_step(self, params, opt, x, labels, lr, key=None,
+                   weights=None):
+        """jit-cached minibatch update.  x [N, D] f32, labels [N] i32.
+        Returns (params', opt', objf per frame)."""
+        n = x.shape[0]
+        if weights is None:
+            weights = jnp.ones((n,), jnp.float32)
+        if key is None:
+            key = np.zeros(2, np.uint32)
+        shape_key = (x.shape, x.dtype)
+        if shape_key not in self._train_step_cache:
+            self._train_step_cache[shape_key] = jax.jit(self._train_step_impl)
+        return self._train_step_cache[shape_key](
+            params, opt, x, labels, weights, jnp.asarray(lr, jnp.float32),
+            key)
+
+    def objf(self, params, x, labels, weights=None):
+        """Diagnostic log-prob per frame (ref: nnet-compute-prob)."""
+        out, _, _ = self.forward(params, x, train=False)
+        post = jnp.maximum(out, 1e-20)
+        picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
+        if weights is None:
+            return jnp.mean(jnp.log(picked))
+        return jnp.sum(jnp.log(picked) * weights) / jnp.sum(weights)
+
+
+class AmNnet:
+    """Nnet + pdf priors (ref: src/nnet2/am-nnet.{h,cc}).  Decoding uses
+    pseudo log-likelihoods log p(pdf|x) - log prior(pdf)
+    (ref: decodable-am-nnet.cc DecodableAmNnet)."""
+
+    def __init__(self, nnet: Nnet, num_pdfs: Optional[int] = None):
+        self.nnet = nnet
+        self.num_pdfs = num_pdfs or nnet.output_dim
+        self.priors = np.full(self.num_pdfs, 1.0 / self.num_pdfs,
+                              np.float64)
+
+    def set_priors_from_counts(self, counts: np.ndarray,
+                               smooth: float = 0.5) -> None:
+        """(ref: nnet-adjust-priors; smoothed relative pdf frequencies)."""
+        c = np.asarray(counts, np.float64) + smooth
+        self.priors = c / c.sum()
+
+    def loglikes(self, params, feats: np.ndarray,
+                 batch_size: int = 512) -> np.ndarray:
+        """[T, D] -> [T, num_pdfs] pseudo log-likelihoods (padded static
+        batches so jit caches one shape)."""
+        T = feats.shape[0]
+        padded = -(-T // batch_size) * batch_size
+        x = np.zeros((padded, feats.shape[1]), np.float32)
+        x[:T] = feats
+        outs = []
+        fn = self._predict_jit()
+        for i in range(0, padded, batch_size):
+            outs.append(np.asarray(fn(params, jnp.asarray(x[i:i + batch_size]))))
+        post = np.concatenate(outs)[:T]
+        return (np.log(np.maximum(post, 1e-20))
+                - np.log(self.priors)[None, :]).astype(np.float32)
+
+    @functools.lru_cache(maxsize=1)
+    def _predict_jit(self):
+        return jax.jit(lambda p, x: self.nnet.predict(p, x))

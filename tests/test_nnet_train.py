@@ -1,0 +1,143 @@
+"""NG-SGD preconditioner + Nnet train-step tests (style:
+nnet2/nnet-precondition-online-test.cc + nnet-update tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kaldi_cnn_tpu.models.components import (
+    AffineComponent, NormalizeComponent, PnormComponent, SoftmaxComponent,
+    TanhComponent)
+from kaldi_cnn_tpu.models.ng_sgd import OnlineNaturalGradient
+from kaldi_cnn_tpu.models.nnet import AmNnet, Nnet
+
+
+def test_ng_state_invariants(rng):
+    ng = OnlineNaturalGradient(rank=8)
+    st = ng.init(32)
+    x = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    for _ in range(5):
+        xh, st = ng.precondition(st, x)
+    u = np.asarray(st.u)
+    # rows stay orthonormal-ish
+    gram = u @ u.T
+    np.testing.assert_allclose(np.diag(gram), 1.0, atol=1e-3)
+    assert np.abs(gram - np.diag(np.diag(gram))).max() < 0.05
+    assert np.all(np.asarray(st.d) > 0)
+    assert float(st.rho) > 0
+
+
+def test_ng_norm_preserved(rng):
+    ng = OnlineNaturalGradient(rank=8)
+    st = ng.init(16)
+    x = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    xh, _ = ng.precondition(st, x)
+    assert float(jnp.linalg.norm(xh)) == pytest.approx(
+        float(jnp.linalg.norm(x)), rel=1e-4)
+
+
+def test_ng_whitens_anisotropic_data(rng):
+    """After adaptation, a dominant direction should be damped relative
+    to the rest (that's the point of NG)."""
+    ng = OnlineNaturalGradient(rank=4, eta=0.5)
+    st = ng.init(16)
+    # data with one huge direction
+    v = np.zeros((1, 16), np.float32)
+    v[0, 0] = 1.0
+    for i in range(20):
+        x = rng.normal(size=(32, 16)).astype(np.float32)
+        x += 20.0 * rng.normal(size=(32, 1)).astype(np.float32) @ v
+        xh, st = ng.precondition(st, jnp.asarray(x))
+    # the dominant direction must appear in the learned basis
+    u = np.asarray(st.u)
+    assert np.abs(u[:, 0]).max() > 0.9
+    # and preconditioning shrinks it relative to other dims
+    x = rng.normal(size=(32, 16)).astype(np.float32)
+    x += 20.0 * rng.normal(size=(32, 1)).astype(np.float32) @ v
+    xh, _ = ng.precondition(st, jnp.asarray(x))
+    xh = np.asarray(xh)
+    ratio_before = np.abs(x[:, 0]).mean() / np.abs(x[:, 1:]).mean()
+    ratio_after = np.abs(xh[:, 0]).mean() / np.abs(xh[:, 1:]).mean()
+    assert ratio_after < 0.25 * ratio_before
+
+
+def _toy_net(input_dim=10, num_classes=4, hidden=32, pnorm_out=8):
+    return Nnet([
+        AffineComponent(input_dim=input_dim, output_dim=hidden),
+        PnormComponent(input_dim=hidden, output_dim=pnorm_out),
+        NormalizeComponent(dim=pnorm_out),
+        AffineComponent(input_dim=pnorm_out, output_dim=num_classes,
+                        param_stddev=0.0),
+        SoftmaxComponent(dim=num_classes),
+    ], ng_update_period=1)
+
+
+def _toy_data(rng, n=512, input_dim=10, num_classes=4):
+    centers = rng.normal(size=(num_classes, input_dim)).astype(np.float32) * 2
+    labels = rng.integers(0, num_classes, n)
+    x = centers[labels] + rng.normal(size=(n, input_dim)).astype(np.float32)
+    return x.astype(np.float32), labels.astype(np.int32)
+
+
+def test_train_step_improves_objf(rng):
+    net = _toy_net()
+    params = net.init(jax.random.PRNGKey(1))
+    opt = net.init_opt()
+    x, labels = _toy_data(rng)
+    objf0 = float(net.objf(params, jnp.asarray(x), jnp.asarray(labels)))
+    for epoch in range(80):
+        key = np.array([0, epoch], np.uint32)
+        params, opt, objf = net.train_step(
+            params, opt, jnp.asarray(x), jnp.asarray(labels), lr=0.08,
+            key=key)
+    objf_end = float(net.objf(params, jnp.asarray(x), jnp.asarray(labels)))
+    assert objf_end > objf0 + 1.5
+    assert objf_end > np.log(0.5)  # well-separated classes: >50% prob
+    acc = (np.asarray(net.predict(params, jnp.asarray(x))).argmax(1)
+           == labels).mean()
+    assert acc > 0.9
+
+
+def test_train_step_ng_vs_plain_convergence(rng):
+    """NG-preconditioned training should not be worse than plain SGD on
+    badly scaled inputs (the reference's motivation for NG-SGD)."""
+    x, labels = _toy_data(rng, n=512)
+    x_bad = x.copy()
+    x_bad[:, 0] *= 50.0   # one huge-variance input dim
+
+    def run(update_period, steps=25, lr=0.02):
+        net = _toy_net()
+        net.ng_in = OnlineNaturalGradient(rank=20,
+                                          update_period=update_period)
+        net.ng_out = OnlineNaturalGradient(rank=20,
+                                           update_period=update_period)
+        # plain SGD == NG with near-zero adaptation (identity-ish F)
+        if update_period == 0:
+            net.ng_in = OnlineNaturalGradient(rank=1, eta=0.0,
+                                              update_period=10 ** 9)
+            net.ng_out = OnlineNaturalGradient(rank=1, eta=0.0,
+                                               update_period=10 ** 9)
+        params = net.init(jax.random.PRNGKey(3))
+        opt = net.init_opt()
+        for s in range(steps):
+            params, opt, objf = net.train_step(
+                params, opt, jnp.asarray(x_bad), jnp.asarray(labels),
+                lr=lr, key=np.array([1, s], np.uint32))
+        return float(net.objf(params, jnp.asarray(x_bad),
+                              jnp.asarray(labels)))
+
+    ng = run(1)
+    plain = run(0)
+    assert ng > plain - 0.05
+
+
+def test_am_nnet_loglikes_shape(rng):
+    net = _toy_net()
+    params = net.init(jax.random.PRNGKey(0))
+    am = AmNnet(net)
+    am.set_priors_from_counts(np.asarray([10, 20, 30, 40]))
+    feats = rng.normal(size=(37, 10)).astype(np.float32)
+    ll = am.loglikes(params, feats, batch_size=16)
+    assert ll.shape == (37, 4)
+    assert np.isfinite(ll).all()
