@@ -1,0 +1,65 @@
+"""Headline benchmark: CNN acoustic-model training throughput.
+
+Measures the full nnet2-equivalent training hot loop (forward, backward,
+NG-SGD preconditioning, parameter update; ref:
+src/nnet2/nnet-update.cc NnetUpdater::ComputeForMinibatch) on the
+flagship Conv2D+Maxpool3D+p-norm model, and reports audio-seconds of
+speech processed per wall-second per chip (frames / 100 frames-per-sec).
+
+Baseline: the reference's K20-era CUDA nnet2 convnet training runs
+~2-4k frames/s per GPU (exp/*/log/train.*.log frames-per-sec lines;
+BASELINE.md "Train throughput" row — not published directly, so we take
+3000 frames/s = 30 audio-s/s as the comparison point, to be re-anchored
+when the reference mount is populated).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
+
+BASELINE_AUDIO_SS = 30.0     # K20-era CUDA reference, see module docstring
+FRAMES_PER_SECOND = 100.0    # 10 ms frame shift
+MINIBATCH = 512
+WARMUP = 3
+STEPS = 30
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() not in ("cpu",)
+    net = make_convnet(ConvnetConfig())
+    params = net.init(jax.random.PRNGKey(0))
+    opt = net.init_opt()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(MINIBATCH, net.input_dim)),
+                    jnp.float32)
+    labels = jnp.asarray(rng.integers(0, net.output_dim, MINIBATCH),
+                         jnp.int32)
+    lr = 0.01
+    for _ in range(WARMUP):
+        params, opt, objf = net.train_step(params, opt, x, labels, lr)
+    jax.block_until_ready(objf)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        params, opt, objf = net.train_step(params, opt, x, labels, lr)
+    jax.block_until_ready(objf)
+    dt = time.perf_counter() - t0
+    frames_per_s = STEPS * MINIBATCH / dt
+    audio_ss = frames_per_s / FRAMES_PER_SECOND
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_sec_per_chip"
+                  + ("" if on_tpu else "_CPU"),
+        "value": round(audio_ss, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(audio_ss / BASELINE_AUDIO_SS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
