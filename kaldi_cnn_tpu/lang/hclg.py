@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 from kaldi_cnn_tpu.lang.arpa import ArpaLm, arpa_to_fst, parse_arpa
+from kaldi_cnn_tpu.lang.context import ContextWindows, compose_context
 from kaldi_cnn_tpu.lang.fst import EPS, Fst, compose, determinize_star, relabel
 from kaldi_cnn_tpu.lang.lexicon import Lexicon, make_lexicon_fst
 from kaldi_cnn_tpu.lang.symbols import SymbolTable
@@ -75,6 +76,7 @@ def expand_hmm(
     clg: Fst,
     transition_scale: float = 1.0,
     self_loop_scale: float = 1.0,
+    windows: Optional[ContextWindows] = None,
 ) -> Fst:
     """Replace each phone arc of CLG with its HMM fragment.
 
@@ -94,7 +96,12 @@ def expand_hmm(
             if a.ilabel == EPS:
                 out.add_arc(s, EPS, a.olabel, a.weight, a.nextstate)
                 continue
-            phone = a.ilabel
+            if windows is not None:
+                window = list(windows.window(a.ilabel))
+                phone = window[windows.central_position]
+            else:
+                window = [a.ilabel]
+                phone = a.ilabel
             entry = lang.topo.entry(phone)
             n_emit = entry.num_emitting
             # nodes for emitting states 1..n-1 are new; state 0 entered
@@ -102,7 +109,7 @@ def expand_hmm(
             nodes = [out.add_state() for _ in range(n_emit)]
             out.add_arc(s, EPS, a.olabel, a.weight, nodes[0])
             for i, hmm_state in enumerate(entry.states):
-                pdf = lang.ctx_dep.compute([phone], hmm_state.pdf_class)
+                pdf = lang.ctx_dep.compute(window, hmm_state.pdf_class)
                 ts = tm.tuple_to_state(phone, i, pdf)
                 for idx, (nxt, _prob) in enumerate(hmm_state.transitions):
                     tid = tm.pair_to_id(ts, idx)
@@ -125,8 +132,7 @@ def make_hclg(
     L = make_lexicon_fst(lang.lexicon, lang.phone_table, lang.word_table)
     lg = determinize_star(compose(L, g))
     lg = _remove_disambig(lang, lg)
-    # monophone context expansion is the identity; triphone C goes here
-    return expand_hmm(lang, lg, transition_scale, self_loop_scale)
+    return _context_and_hmm(lang, lg, transition_scale, self_loop_scale)
 
 
 def make_hclg_from_arpa(lang: Lang, arpa_text: str, **kw) -> Fst:
@@ -147,4 +153,16 @@ def compile_training_graph(
     L = make_lexicon_fst(lang.lexicon, lang.phone_table, lang.word_table)
     lg = determinize_star(compose(L, g))
     lg = _remove_disambig(lang, lg)
+    return _context_and_hmm(lang, lg, transition_scale, self_loop_scale)
+
+
+def _context_and_hmm(lang: Lang, lg: Fst, transition_scale: float,
+                     self_loop_scale: float) -> Fst:
+    """Monophone: identity context; context-dependent trees go through
+    CLG (ref: fstcomposecontext in utils/mkgraph.sh)."""
+    if lang.ctx_dep.context_width > 1:
+        clg, wins = compose_context(
+            lg, lang.ctx_dep.context_width, lang.ctx_dep.central_position)
+        return expand_hmm(lang, clg, transition_scale, self_loop_scale,
+                          windows=wins)
     return expand_hmm(lang, lg, transition_scale, self_loop_scale)

@@ -35,6 +35,12 @@ class ContextDependencyInterface:
     def num_pdfs(self) -> int:
         raise NotImplementedError
 
+    def pdfs_for(self, phone: int, pdf_class: int):
+        """All pdf-ids reachable for (central phone, pdf-class) over
+        contexts (ref: ContextDependency::GetPdfInfo).  Context-free
+        default: the single monophone answer."""
+        return {self.compute([phone], pdf_class)}
+
 
 class MonophoneContextDependency(ContextDependencyInterface):
     """Monophone 'tree': each (phone, pdf_class) gets its own pdf
@@ -71,13 +77,14 @@ class TransitionModel:
         for phone in topo.phones:
             entry = topo.entry(phone)
             for hmm_state, st in enumerate(entry.states):
-                # monophone window; tree-based windows enumerate contexts
-                # that share a pdf, which collapses to the same tuples
-                pdf = ctx_dep.compute([phone], st.pdf_class)
-                t = (phone, hmm_state, pdf)
-                if t not in seen:
-                    seen.add(t)
-                    self.tuples.append(t)
+                # every pdf the tree can emit for this (phone, state)
+                # gets its own transition state (ref:
+                # TransitionModel::ComputeTuples via GetPdfInfo)
+                for pdf in sorted(ctx_dep.pdfs_for(phone, st.pdf_class)):
+                    t = (phone, hmm_state, pdf)
+                    if t not in seen:
+                        seen.add(t)
+                        self.tuples.append(t)
         self.tuples.sort()
         self._tuple_index = {t: i + 1 for i, t in enumerate(self.tuples)}
         # per transition state: id range start
@@ -132,6 +139,11 @@ class TransitionModel:
 
     def id_to_hmm_state(self, tid: int) -> int:
         return self.tuples[self.id_to_state(tid) - 1][1]
+
+    def id_to_trans_index(self, tid: int) -> int:
+        """Index of this transition within its transition state
+        (ref: TransitionModel::TransitionIdToTransitionIndex)."""
+        return tid - self._state2id[self.id_to_state(tid)]
 
     def self_loop_id(self, trans_state: int) -> int:
         """Transition id of the self-loop of this state (0 if none)."""
