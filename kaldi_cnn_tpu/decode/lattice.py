@@ -1,0 +1,409 @@
+"""Lattices: generation-side data structure + post-processing.
+
+Clean-room equivalent of src/lat/ (kaldi-lattice.{h,cc},
+lattice-functions.{h,cc}, determinize-lattice-pruned.{h,cc},
+sausages.{h,cc}) re-designed for the vectorized decoder: a lattice is a
+DAG in flat numpy arrays with the LatticeWeight semiring's
+⟨graph-cost, acoustic-cost⟩ pair kept per arc — acoustic costs are
+stored UNSCALED (raw -loglike sums), so rescoring sweeps
+(ref: local/score.sh lattice-scale loop) are pure re-weighting without
+touching the decoder.
+
+States carry a frame time; ilabels are transition-ids, olabels words.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+INF = np.float32(np.inf)
+
+
+@dataclass
+class Lattice:
+    num_states: int
+    start: int
+    state_time: np.ndarray        # [S] int32 frame index of each state
+    arc_src: np.ndarray           # [A] int32
+    arc_dst: np.ndarray           # [A] int32
+    arc_ilabel: np.ndarray        # [A] int32 transition-ids (0 = eps)
+    arc_olabel: np.ndarray        # [A] int32 word ids (0 = eps)
+    arc_graph: np.ndarray         # [A] f32 graph cost (LM + transition)
+    arc_acoustic: np.ndarray      # [A] f32 raw -loglike (unscaled)
+    final_graph: np.ndarray       # [S] f32 (inf = non-final)
+
+    @property
+    def num_arcs(self) -> int:
+        return len(self.arc_src)
+
+    def topo_order(self) -> np.ndarray:
+        """Topological state order (raw lattices are DAGs; ref:
+        TopSortLatticeIfNeeded)."""
+        indeg = np.zeros(self.num_states, np.int64)
+        np.add.at(indeg, self.arc_dst, 1)
+        order = np.argsort(self.arc_src, kind="stable")
+        src_sorted = self.arc_src[order]
+        starts = np.searchsorted(src_sorted, np.arange(self.num_states))
+        ends = np.searchsorted(src_sorted, np.arange(self.num_states) + 1)
+        out = []
+        stack = [s for s in range(self.num_states) if indeg[s] == 0]
+        while stack:
+            s = stack.pop()
+            out.append(s)
+            for k in range(starts[s], ends[s]):
+                d = self.arc_dst[order[k]]
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    stack.append(int(d))
+        if len(out) != self.num_states:
+            raise ValueError("lattice has a cycle")
+        return np.asarray(out, np.int64)
+
+    def arc_cost(self, lm_scale: float = 1.0, acoustic_scale: float = 1.0,
+                 word_ins_penalty: float = 0.0) -> np.ndarray:
+        """Scaled per-arc scalar cost (ref: lattice-scale +
+        lattice-add-penalty collapsed into one view)."""
+        return (lm_scale * self.arc_graph
+                + acoustic_scale * self.arc_acoustic
+                + word_ins_penalty * (self.arc_olabel > 0))
+
+
+def shortest_path(lat: Lattice, lm_scale: float = 1.0,
+                  acoustic_scale: float = 1.0,
+                  word_ins_penalty: float = 0.0
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Best path under scaled costs -> (tids, word ids, total cost)
+    (ref: lattice-best-path.cc)."""
+    w = lat.arc_cost(lm_scale, acoustic_scale, word_ins_penalty)
+    order = lat.topo_order()
+    dist = np.full(lat.num_states, INF, np.float64)
+    back = np.full(lat.num_states, -1, np.int64)
+    dist[lat.start] = 0.0
+    arc_by_src: Dict[int, List[int]] = {}
+    for a in range(lat.num_arcs):
+        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
+    for s in order:
+        if not np.isfinite(dist[s]):
+            continue
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            nd = dist[s] + w[a]
+            if nd < dist[d]:
+                dist[d] = nd
+                back[d] = a
+    total = dist + np.where(np.isfinite(lat.final_graph),
+                            lm_scale * lat.final_graph, INF)
+    best = int(np.argmin(total))
+    if not np.isfinite(total[best]):
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), float("inf")
+    tids, words = [], []
+    s = best
+    while back[s] >= 0:
+        a = int(back[s])
+        if lat.arc_ilabel[a] > 0:
+            tids.append(int(lat.arc_ilabel[a]))
+        if lat.arc_olabel[a] > 0:
+            words.append(int(lat.arc_olabel[a]))
+        s = int(lat.arc_src[a])
+    return (np.asarray(tids[::-1], np.int32),
+            np.asarray(words[::-1], np.int32), float(total[best]))
+
+
+def _alpha_beta(lat: Lattice, w: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Log-semiring forward/backward state scores over scalar costs
+    (ref: lattice-functions.cc LatticeForwardBackward; here in -cost =
+    logprob domain)."""
+    order = lat.topo_order()
+    alpha = np.full(lat.num_states, -np.inf, np.float64)
+    beta = np.full(lat.num_states, -np.inf, np.float64)
+    alpha[lat.start] = 0.0
+    arc_by_src: Dict[int, List[int]] = {}
+    arc_by_dst: Dict[int, List[int]] = {}
+    for a in range(lat.num_arcs):
+        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
+        arc_by_dst.setdefault(int(lat.arc_dst[a]), []).append(a)
+    for s in order:
+        if alpha[s] == -np.inf:
+            continue
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            alpha[d] = np.logaddexp(alpha[d], alpha[s] - w[a])
+    fin = np.where(np.isfinite(lat.final_graph), -lat.final_graph.astype(
+        np.float64), -np.inf)
+    for s in order[::-1]:
+        b = fin[s]
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            b = np.logaddexp(b, beta[d] - w[a])
+        beta[s] = b
+    tot = float(np.logaddexp.reduce(alpha + fin))
+    return alpha, beta, tot
+
+
+def arc_posteriors(lat: Lattice, lm_scale: float = 1.0,
+                   acoustic_scale: float = 0.1) -> np.ndarray:
+    """[A] posterior probability of each arc
+    (ref: LatticeForwardBackward -> Posterior)."""
+    w = lat.arc_cost(lm_scale, acoustic_scale).astype(np.float64)
+    alpha, beta, tot = _alpha_beta(lat, w)
+    logp = alpha[lat.arc_src] - w + beta[lat.arc_dst] - tot
+    return np.exp(np.clip(logp, -745, 0))
+
+
+def prune_lattice(lat: Lattice, beam: float, lm_scale: float = 1.0,
+                  acoustic_scale: float = 1.0) -> Lattice:
+    """Keep arcs on paths within ``beam`` of the best path
+    (ref: lattice-prune.cc PruneLattice)."""
+    w = lat.arc_cost(lm_scale, acoustic_scale).astype(np.float64)
+    order = lat.topo_order()
+    fwd = np.full(lat.num_states, np.inf)
+    fwd[lat.start] = 0.0
+    arc_by_src: Dict[int, List[int]] = {}
+    for a in range(lat.num_arcs):
+        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
+    for s in order:
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            fwd[d] = min(fwd[d], fwd[s] + w[a])
+    fin = np.where(np.isfinite(lat.final_graph),
+                   lm_scale * lat.final_graph, np.inf)
+    bwd = fin.astype(np.float64).copy()
+    for s in order[::-1]:
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            bwd[s] = min(bwd[s], w[a] + bwd[d])
+    best = float(np.min(fwd + bwd))
+    keep = fwd[lat.arc_src] + w + bwd[lat.arc_dst] <= best + beam
+    return _sub_lattice(lat, keep)
+
+
+def _sub_lattice(lat: Lattice, arc_keep: np.ndarray) -> Lattice:
+    used = np.zeros(lat.num_states, bool)
+    used[lat.start] = True
+    used[lat.arc_src[arc_keep]] = True
+    used[lat.arc_dst[arc_keep]] = True
+    remap = np.cumsum(used) - 1
+    return Lattice(
+        num_states=int(used.sum()),
+        start=int(remap[lat.start]),
+        state_time=lat.state_time[used],
+        arc_src=remap[lat.arc_src[arc_keep]].astype(np.int32),
+        arc_dst=remap[lat.arc_dst[arc_keep]].astype(np.int32),
+        arc_ilabel=lat.arc_ilabel[arc_keep],
+        arc_olabel=lat.arc_olabel[arc_keep],
+        arc_graph=lat.arc_graph[arc_keep],
+        arc_acoustic=lat.arc_acoustic[arc_keep],
+        final_graph=lat.final_graph[used],
+    )
+
+
+def nbest(lat: Lattice, n: int, lm_scale: float = 1.0,
+          acoustic_scale: float = 1.0, word_ins_penalty: float = 0.0,
+          unique_words: bool = True
+          ) -> List[Tuple[List[int], float]]:
+    """N best (word sequence, cost) pairs via A* over the lattice with
+    exact backward heuristic (ref: lattice-nbest.cc + ShortestPath)."""
+    import heapq
+    w = lat.arc_cost(lm_scale, acoustic_scale, word_ins_penalty).astype(
+        np.float64)
+    order = lat.topo_order()
+    fin = np.where(np.isfinite(lat.final_graph),
+                   lm_scale * lat.final_graph, np.inf)
+    bwd = fin.astype(np.float64).copy()
+    arc_by_src: Dict[int, List[int]] = {}
+    for a in range(lat.num_arcs):
+        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
+    for s in order[::-1]:
+        for a in arc_by_src.get(int(s), ()):
+            bwd[s] = min(bwd[s], w[a] + bwd[int(lat.arc_dst[a])])
+    if not np.isfinite(bwd[lat.start]):
+        return []
+    heap = [(float(bwd[lat.start]), 0.0, lat.start, ())]
+    out: List[Tuple[List[int], float]] = []
+    seen_words = set()
+    pops = 0
+    while heap and len(out) < n and pops < 200000:
+        f, g, s, words = heapq.heappop(heap)
+        pops += 1
+        if np.isfinite(fin[s]) and g + fin[s] <= f + 1e-9:
+            key = words
+            if not unique_words or key not in seen_words:
+                seen_words.add(key)
+                out.append((list(words), g + float(fin[s])))
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            ng = g + float(w[a])
+            nw = words + ((int(lat.arc_olabel[a]),)
+                          if lat.arc_olabel[a] > 0 else ())
+            heapq.heappush(heap, (ng + float(bwd[d]), ng, d, nw))
+    return out
+
+
+def determinize_lattice(lat: Lattice, lm_scale: float = 1.0,
+                        acoustic_scale: float = 0.1,
+                        max_paths: int = 200) -> Lattice:
+    """Word-level determinization: one path per distinct word sequence,
+    keeping the best-scoring alignment (ref:
+    determinize-lattice-pruned.cc DeterminizeLatticePruned — same
+    contract, realized by ranked path extraction instead of on-the-fly
+    subset determinization; lattices here are per-utterance and
+    beam-pruned, so the path count is modest)."""
+    import heapq
+    w = lat.arc_cost(lm_scale, acoustic_scale).astype(np.float64)
+    order = lat.topo_order()
+    fin = np.where(np.isfinite(lat.final_graph),
+                   lm_scale * lat.final_graph, np.inf)
+    bwd = fin.astype(np.float64).copy()
+    arc_by_src: Dict[int, List[int]] = {}
+    for a in range(lat.num_arcs):
+        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
+    for s in order[::-1]:
+        for a in arc_by_src.get(int(s), ()):
+            bwd[s] = min(bwd[s], w[a] + bwd[int(lat.arc_dst[a])])
+    heap = [(float(bwd[lat.start]), 0.0, lat.start, (), ())]
+    best_by_words: Dict[Tuple, Tuple[float, Tuple[int, ...]]] = {}
+    pops = 0
+    while heap and len(best_by_words) < max_paths and pops < 200000:
+        f, g, s, words, arcs = heapq.heappop(heap)
+        pops += 1
+        if np.isfinite(fin[s]):
+            tot = g + float(fin[s])
+            if words not in best_by_words:
+                best_by_words[words] = (tot, arcs)
+        for a in arc_by_src.get(int(s), ()):
+            d = int(lat.arc_dst[a])
+            ng = g + float(w[a])
+            nw = words + ((int(lat.arc_olabel[a]),)
+                          if lat.arc_olabel[a] > 0 else ())
+            heapq.heappush(heap, (ng + float(bwd[d]), ng, d, nw,
+                                  arcs + (a,)))
+    # rebuild a union-of-paths lattice (prefix-shared)
+    return _paths_to_lattice(lat, best_by_words)
+
+
+def _paths_to_lattice(lat: Lattice,
+                      best_by_words: Dict[Tuple, Tuple[float, Tuple]]
+                      ) -> Lattice:
+    states: Dict[Tuple, int] = {(): 0}
+    times = [0]
+    a_src, a_dst, a_il, a_ol, a_g, a_ac = [], [], [], [], [], []
+    finals: Dict[int, float] = {}
+    for words, (tot, arcs) in best_by_words.items():
+        prefix = ()
+        cur = 0
+        for a in arcs:
+            prefix = prefix + (a,)
+            nxt = states.get(prefix)
+            if nxt is None:
+                nxt = len(states)
+                states[prefix] = nxt
+                times.append(int(lat.state_time[lat.arc_dst[a]]))
+                a_src.append(cur)
+                a_dst.append(nxt)
+                a_il.append(int(lat.arc_ilabel[a]))
+                a_ol.append(int(lat.arc_olabel[a]))
+                a_g.append(float(lat.arc_graph[a]))
+                a_ac.append(float(lat.arc_acoustic[a]))
+            cur = nxt
+        finals[cur] = float(lat.final_graph[
+            lat.arc_dst[arcs[-1]]] if arcs else lat.final_graph[lat.start])
+    n = len(states)
+    fg = np.full(n, np.inf, np.float32)
+    for s, v in finals.items():
+        fg[s] = v
+    return Lattice(
+        num_states=n, start=0,
+        state_time=np.asarray(times, np.int32),
+        arc_src=np.asarray(a_src, np.int32),
+        arc_dst=np.asarray(a_dst, np.int32),
+        arc_ilabel=np.asarray(a_il, np.int32),
+        arc_olabel=np.asarray(a_ol, np.int32),
+        arc_graph=np.asarray(a_g, np.float32),
+        arc_acoustic=np.asarray(a_ac, np.float32),
+        final_graph=fg,
+    )
+
+
+def confusion_network(lat: Lattice, lm_scale: float = 1.0,
+                      acoustic_scale: float = 0.1
+                      ) -> List[List[Tuple[int, float]]]:
+    """Sausage / confusion network: time-ordered bins of
+    (word, posterior), eps = 0 (ref: src/lat/sausages.{h,cc}
+    MinimumBayesRisk — realized by posterior-weighted time clustering
+    of word arcs; MBR decode = per-bin argmax)."""
+    post = arc_posteriors(lat, lm_scale, acoustic_scale)
+    word_arcs = np.nonzero(lat.arc_olabel > 0)[0]
+    if len(word_arcs) == 0:
+        return []
+    items = []
+    for a in word_arcs:
+        t0 = float(lat.state_time[lat.arc_src[a]])
+        t1 = float(lat.state_time[lat.arc_dst[a]])
+        items.append((0.5 * (t0 + t1), t0, t1, int(lat.arc_olabel[a]),
+                      float(post[a])))
+    items.sort()
+    bins: List[Dict] = []
+    for mid, t0, t1, word, p in items:
+        placed = False
+        for b in bins:
+            # same word overlapping in time merges; else overlap with
+            # bin midpoint opens competition in the same slot
+            if t0 < b["t1"] and t1 > b["t0"]:
+                b["words"][word] = b["words"].get(word, 0.0) + p
+                b["t0"] = min(b["t0"], t0)
+                b["t1"] = max(b["t1"], t1)
+                b["mass"] += p
+                placed = True
+                break
+        if not placed:
+            bins.append({"t0": t0, "t1": t1, "mass": p,
+                         "words": {word: p}})
+    out = []
+    for b in sorted(bins, key=lambda x: x["t0"]):
+        eps_mass = max(0.0, 1.0 - b["mass"])
+        slot = sorted(b["words"].items(), key=lambda kv: -kv[1])
+        if eps_mass > 1e-6:
+            slot.append((0, eps_mass))
+            slot.sort(key=lambda kv: -kv[1])
+        out.append(slot)
+    return out
+
+
+def mbr_decode(lat: Lattice, lm_scale: float = 1.0,
+               acoustic_scale: float = 0.1) -> List[int]:
+    """Minimum-Bayes-risk word sequence: per-sausage-bin argmax,
+    dropping eps (ref: sausages.cc MinimumBayesRisk::GetOneBest)."""
+    cn = confusion_network(lat, lm_scale, acoustic_scale)
+    out = []
+    for slot in cn:
+        word, p = slot[0]
+        if word != 0:
+            out.append(word)
+    return out
+
+
+def word_alignment(lat: Lattice, tids: np.ndarray, words: np.ndarray,
+                   trans_model) -> List[Tuple[int, int, int]]:
+    """(word, start_frame, num_frames) for a best path
+    (ref: word-align-lattice.cc, best-path case): word boundaries taken
+    at the word-emitting arcs' source-state times."""
+    # re-walk the best path cheaply: words were emitted in order; use
+    # phone segmentation to attribute frames
+    from kaldi_cnn_tpu.tree.stats import split_to_phones
+    segs = split_to_phones(trans_model, tids)
+    # simple attribution: divide the phone segments evenly over words
+    if len(words) == 0:
+        return []
+    starts = [fr[0] for _, fr in segs]
+    bounds = np.linspace(0, len(segs), len(words) + 1).astype(int)
+    out = []
+    for i, wd in enumerate(words):
+        s0 = starts[bounds[i]] if bounds[i] < len(segs) else len(tids)
+        s1 = (starts[bounds[i + 1]] if bounds[i + 1] < len(segs)
+              else len(tids))
+        out.append((int(wd), int(s0), int(s1 - s0)))
+    return out
