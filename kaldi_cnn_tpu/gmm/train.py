@@ -92,13 +92,16 @@ def build_tree_lang(
     max_leaves: int = 500,
     context_width: int = 3,
     central_position: int = 1,
+    ali_tm=None,
 ) -> Lang:
     """Accumulate tree stats on aligned data and build a triphone-tree
     Lang (ref: steps/train_deltas.sh stages acc-tree-stats,
-    cluster-phones, compile-questions, build-tree)."""
+    cluster-phones, compile-questions, build-tree).  ``ali_tm`` is the
+    transition model the alignments were produced with (defaults to
+    mono_lang's)."""
     from kaldi_cnn_tpu.tree import (
         accumulate_tree_stats, build_tree, questions_for_keys)
-    tm = mono_lang.trans_model
+    tm = ali_tm if ali_tm is not None else mono_lang.trans_model
     stats = accumulate_tree_stats(tm, feats, alignments,
                                   context_width, central_position)
     max_pdf_class = max(
@@ -279,7 +282,8 @@ def train_lda_mllt(
     feats = {u: apply_affine(f, transform).astype(np.float32)
              for u, f in spliced.items()}
     tri_lang = build_tree_lang(feats, prev_alignments, lang,
-                               max_leaves=opts.max_leaves)
+                               max_leaves=opts.max_leaves,
+                               ali_tm=prev_tm)
     alignments = {
         utt: convert_alignment(prev_tm, tri_lang, ali)
         for utt, ali in prev_alignments.items()

@@ -57,14 +57,19 @@ class FmllrAccs:
             self.G += inv_vars[m][:, None, None] * S[None, :, :]
 
     def accumulate_am(self, am: AmDiagGmm, feats: np.ndarray,
-                      pdf_ali: np.ndarray) -> None:
+                      pdf_ali: np.ndarray,
+                      frame_weights: Optional[np.ndarray] = None) -> None:
         """Viterbi-alignment accumulation: per frame, posteriors over
-        the aligned pdf's Gaussians (ref: AccumulateForGmm per state)."""
+        the aligned pdf's Gaussians (ref: AccumulateForGmm per state;
+        frame_weights = the weight-silence-post step of
+        steps/decode_fmllr.sh)."""
         f = np.asarray(feats, np.float64)
         for pdf in np.unique(pdf_ali):
             gmm = am.gmms[int(pdf)]
             sel = pdf_ali == pdf
             post = gmm.posteriors(f[sel])
+            if frame_weights is not None:
+                post = post * frame_weights[sel][:, None]
             self.accumulate_gmm(f[sel], gmm.means,
                                 1.0 / np.maximum(gmm.vars, 1e-10), post)
 
