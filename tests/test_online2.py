@@ -1,0 +1,131 @@
+"""Online pipeline tests: streaming == offline equivalence (the key
+invariant of src/feat/online-feature-test.cc) + incremental decoding
+and endpointing."""
+
+import numpy as np
+import pytest
+
+from kaldi_cnn_tpu.features import functional as F
+from kaldi_cnn_tpu.online2 import (
+    EndpointConfig, EndpointRule, OnlineBaseFeature, OnlineCmvn,
+    OnlineFeaturePipeline, SingleUtteranceDecoder)
+
+
+def test_streaming_base_features_match_offline(rng):
+    wave = (rng.normal(size=8000) * 1000).astype(np.float32)
+    opts = F.MfccOptions()
+    opts.frame_opts.samp_freq = 8000.0
+    opts.frame_opts.dither = 0.0
+    online = OnlineBaseFeature("mfcc", opts)
+    for i in range(0, len(wave), 1000):
+        online.accept_waveform(wave[i:i + 1000])
+    online.finish()
+    offline = np.asarray(F.compute_mfcc(wave, opts))
+    got = online.get_frames(0, online.num_frames_ready())
+    assert got.shape == offline.shape
+    assert np.allclose(got, offline, atol=1e-3)
+
+
+def test_streaming_chunk_size_invariance(rng):
+    wave = (rng.normal(size=6400) * 500).astype(np.float32)
+    opts = F.FbankOptions()
+    opts.frame_opts.samp_freq = 8000.0
+    opts.frame_opts.dither = 0.0
+
+    def run(chunk):
+        ob = OnlineBaseFeature("fbank", opts)
+        for i in range(0, len(wave), chunk):
+            ob.accept_waveform(wave[i:i + chunk])
+        ob.finish()
+        return ob.get_frames(0, ob.num_frames_ready())
+
+    a, b = run(160), run(2048)
+    assert a.shape == b.shape
+    assert np.allclose(a, b, atol=1e-4)
+
+
+def test_online_cmvn_causal(rng):
+    x = rng.normal(size=(300, 5)).astype(np.float32) + 7.0
+    cm = OnlineCmvn()
+    y = cm.apply(x)
+    # later frames approach zero mean
+    assert np.abs(y[200:].mean(axis=0)).max() < 0.5
+    # causality: normalizing a prefix gives the same prefix
+    y2 = cm.apply(x[:100])
+    assert np.allclose(y[:100], y2, atol=1e-5)
+
+
+def test_pipeline_right_context_lag(rng):
+    wave = (rng.normal(size=4000) * 300).astype(np.float32)
+    opts = F.MfccOptions()
+    opts.frame_opts.samp_freq = 8000.0
+    pipe = OnlineFeaturePipeline("mfcc", opts, deltas_order=2)
+    pipe.accept_waveform(wave)
+    ready = pipe.num_frames_ready()
+    base_ready = pipe.base.num_frames_ready()
+    assert ready == base_ready - pipe.right_context
+    pipe.finish()
+    assert pipe.num_frames_ready() == base_ready
+    f = pipe.get_frames(0, ready)
+    assert f.shape[0] == ready and f.shape[1] == 13 * 3
+
+
+@pytest.fixture(scope="module")
+def decode_setup():
+    from kaldi_cnn_tpu.decode.graph import CompiledGraph
+    from kaldi_cnn_tpu.gmm.train import MonoTrainOptions, train_mono
+    from kaldi_cnn_tpu.lang.arpa import make_unigram_arpa
+    from kaldi_cnn_tpu.lang.hclg import Lang, make_hclg_from_arpa
+    from kaldi_cnn_tpu.recipes import synthetic
+    from kaldi_cnn_tpu.recipes.yesno import compute_features
+    lex = synthetic.yesno_lexicon()
+    wp = {"yes": 0.5, "no": 0.5}
+    corpus = synthetic.make_corpus(lex, wp, 16, 1, 2, 31)
+    feats = compute_features(corpus, seed=31)
+    lang = Lang.create(lex)
+    am, _ = train_mono(feats, corpus.transcripts, lang,
+                       MonoTrainOptions(num_iters=8, totgauss=80))
+    hclg = CompiledGraph(make_hclg_from_arpa(lang, make_unigram_arpa(wp)),
+                         lang.trans_model.trans_id_to_pdf_array())
+    return corpus, feats, lang, am, hclg
+
+
+def test_incremental_decode_matches_batch(decode_setup):
+    from kaldi_cnn_tpu.decode.decoder import viterbi_decode
+    corpus, feats, lang, am, hclg = decode_setup
+    utt = next(iter(feats))
+    ll = am.loglikes(feats[utt])
+    dec = SingleUtteranceDecoder(hclg, acoustic_scale=0.1, beam=np.inf,
+                                 max_active=0)
+    for i in range(0, ll.shape[0], 17):
+        dec.advance(ll[i:i + 17])
+    tids, words, cost = dec.best_path()
+    tids_b, words_b, cost_b = viterbi_decode(hclg, ll,
+                                             acoustic_scale=0.1,
+                                             beam=np.inf, max_active=0)
+    assert list(words) == list(words_b)
+    assert cost == pytest.approx(cost_b, abs=1e-2)
+
+
+def test_endpointing_on_trailing_silence(decode_setup):
+    corpus, feats, lang, am, hclg = decode_setup
+    tm = lang.trans_model
+    sil = lang.phone_table.id("SIL")
+    utt = next(iter(feats))
+    ll = am.loglikes(feats[utt])
+    # synthesize strong trailing silence: repeat the utterance's best
+    # silence frame for 1.5 s
+    sil_pdfs = [tm.id_to_pdf(t) for t in range(1, tm.num_transition_ids + 1)
+                if tm.id_to_phone(t) == sil]
+    sil_frame = np.full((1, ll.shape[1]), -30.0, np.float32)
+    sil_frame[0, sil_pdfs] = 0.0
+    extended = np.concatenate([ll, np.repeat(sil_frame, 150, axis=0)])
+    dec = SingleUtteranceDecoder(hclg, acoustic_scale=0.1, beam=np.inf,
+                                 max_active=0)
+    cfg = EndpointConfig(rule_trailing=EndpointRule(
+        min_trailing_silence_sec=0.5, max_relative_cost=1e9))
+    dec.advance(ll)
+    assert not dec.endpoint_detected(tm, sil, cfg)
+    dec.advance(extended[ll.shape[0]:])
+    assert dec.trailing_silence_frames(tm, sil) >= 100
+    assert dec.endpoint_detected(tm, sil, cfg)
