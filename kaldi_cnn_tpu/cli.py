@@ -128,8 +128,7 @@ def cmd_compute_wer(argv: List[str]) -> int:
 
     r = wer_details(load(args.ref_text), load(args.hyp_text))
     print(f"%WER {r['wer']:.2f} [ {r['errors']} / {r['words']}, "
-          f"{r['insertions']} ins, {r['deletions']} del, "
-          f"{r['substitutions']} sub ]")
+          f"{r['ins']} ins, {r['del']} del, {r['sub']} sub ]")
     return 0
 
 
