@@ -87,6 +87,40 @@ def _eps_expand(g: CompiledGraph, cost: np.ndarray, tok: np.ndarray,
     return cost, tok
 
 
+def _viterbi_native(g, loglikes, acoustic_scale, beam, max_active,
+                    require_final, word_ins_penalty):
+    """C++ fast path (kaldi_cnn_tpu.native viterbi.cc); returns None
+    when the native library is unavailable."""
+    import ctypes
+    from kaldi_cnn_tpu import native
+    lib = native.load()
+    if lib is None:
+        return None
+    T, P = loglikes.shape
+    ll = np.ascontiguousarray(loglikes, np.float32)
+    out_tids = np.zeros(max(T, 1), np.int32)
+    out_words = np.zeros(max(T, 1), np.int32)
+    nwords = ctypes.c_int64(0)
+    cost = ctypes.c_float(0.0)
+    nt = lib.kct_viterbi(
+        g.num_states, g.start,
+        g.num_emitting_arcs, g.e_src, g.e_dst, g.e_ilabel, g.e_olabel,
+        g.e_weight, g.e_pdf,
+        g.num_eps_arcs, g.n_src, g.n_dst, g.n_olabel, g.n_weight,
+        g.final,
+        ll, T, P,
+        np.float32(acoustic_scale),
+        np.float32(beam if np.isfinite(beam) else np.inf),
+        np.int32(max_active), np.int32(bool(require_final)),
+        np.float32(word_ins_penalty),
+        out_tids, out_words, ctypes.byref(nwords), ctypes.byref(cost))
+    if nt < 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                float("inf"))
+    return (out_tids[:nt].copy(), out_words[:nwords.value].copy(),
+            float(cost.value))
+
+
 def _viterbi(
     g: CompiledGraph,
     loglikes: np.ndarray,
@@ -97,6 +131,11 @@ def _viterbi(
     word_ins_penalty: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """loglikes [T, num_pdfs] -> (frame alignment tids [T], olabels, cost)."""
+    if type(g) is CompiledGraph:   # native path reads the raw arrays
+        r = _viterbi_native(g, loglikes, acoustic_scale, beam,
+                            max_active, require_final, word_ins_penalty)
+        if r is not None:
+            return r
     T = loglikes.shape[0]
     am_scores = -acoustic_scale * loglikes  # costs
     if word_ins_penalty != 0.0:
