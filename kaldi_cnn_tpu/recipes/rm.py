@@ -89,7 +89,7 @@ def estimate_test_fmllr(am, hclg: CompiledGraph, lang: Lang,
     for utt, f in feats.items():
         lat = lattice_decode(hclg, am.loglikes(f),
                              acoustic_scale=acoustic_scale,
-                             beam=np.inf, lattice_beam=8.0, max_active=0)
+                             beam=60.0, lattice_beam=8.0, max_active=2000)
         tids, _, _ = shortest_path(lat, 1.0, acoustic_scale)
         if len(tids) != f.shape[0]:
             continue
@@ -176,7 +176,7 @@ def run(
             g = f if W is None else (f @ W[:, :-1].T + W[:, -1])
             lats[utt] = lattice_decode(
                 hclg2, am3.loglikes(g), acoustic_scale=0.1,
-                beam=np.inf, lattice_beam=8.0, max_active=0)
+                beam=60.0, lattice_beam=8.0, max_active=2000)
         return lats, {u: (f if (W := xf.get(u)) is None
                           else (f @ W[:, :-1].T + W[:, -1]).astype(
                               np.float32))
@@ -224,8 +224,8 @@ def run(
                 g, egs_cfg.left_context, egs_cfg.right_context))
             ll = am_nnet.loglikes(params, spliced)
             lats[utt] = lattice_decode(
-                hclg2, ll, acoustic_scale=0.1, beam=np.inf,
-                lattice_beam=8.0, max_active=0)
+                hclg2, ll, acoustic_scale=0.1, beam=60.0,
+                lattice_beam=8.0, max_active=2000)
         return lats
 
     timer.reset()

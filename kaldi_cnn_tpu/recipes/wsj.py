@@ -190,8 +190,8 @@ def run(
             x = splice_volume(v, left, right)
             ll = am_nnet.loglikes(params, x)
             lats[utt] = lattice_decode(hclg, ll, acoustic_scale=0.1,
-                                       beam=np.inf, lattice_beam=8.0,
-                                       max_active=0)
+                                       beam=60.0, lattice_beam=8.0,
+                                       max_active=2000)
         return lats
 
     timer.reset()
