@@ -15,5 +15,6 @@ from kaldi_cnn_tpu.models.components import (
     AffineComponent, PnormComponent, NormalizeComponent, TanhComponent,
     RectifiedLinearComponent, SigmoidComponent, SoftmaxComponent,
     FixedAffineComponent, DropoutComponent, SpliceComponent,
-    Conv2DComponent, Maxpooling3DComponent)
+    Conv2DComponent, Maxpooling3DComponent, IdentityComponent,
+    SliceParallelComponent)
 from kaldi_cnn_tpu.models.nnet import Nnet, AmNnet

@@ -303,6 +303,118 @@ class SpliceComponent:
 
 
 @functools.lru_cache(maxsize=None)
+@dataclass(frozen=True)
+class IdentityComponent:
+    """Pass-through (used as a branch of SliceParallelComponent)."""
+
+    dim: int
+    trainable: bool = False
+
+    @property
+    def input_dim(self):
+        return self.dim
+
+    @property
+    def output_dim(self):
+        return self.dim
+
+    def init(self, key) -> Params:
+        return {}
+
+    def forward(self, params, x, train=False, key=None):
+        return x, None
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        return out_deriv
+
+
+@dataclass(frozen=True)
+class SliceParallelComponent:
+    """Apply sub-components to contiguous input slices and concatenate
+    their outputs — how auxiliary inputs (e.g. the online iVector of
+    the Switchboard config) bypass the convolutional front end.
+    (Upstream nnet2 appends the iVector inside the spliced input; the
+    explicit parallel structure here is the nnet3 ParallelComponent
+    shape, cleaner for the (t, f, c) conv volume layout.)"""
+
+    parts: Tuple = ()
+
+    @property
+    def input_dim(self):
+        return sum(p.input_dim for p in self.parts)
+
+    @property
+    def output_dim(self):
+        return sum(p.output_dim for p in self.parts)
+
+    @property
+    def trainable(self):
+        return any(getattr(p, "trainable", False) for p in self.parts)
+
+    def _in_slices(self):
+        out, o = [], 0
+        for p in self.parts:
+            out.append((o, o + p.input_dim))
+            o += p.input_dim
+        return out
+
+    def _out_slices(self):
+        out, o = [], 0
+        for p in self.parts:
+            out.append((o, o + p.output_dim))
+            o += p.output_dim
+        return out
+
+    def init(self, key) -> Params:
+        keys = jax.random.split(key, max(len(self.parts), 2))
+        return {"parts": tuple(p.init(k)
+                               for p, k in zip(self.parts, keys))}
+
+    def forward(self, params, x, train=False, key=None):
+        ys, auxs = [], []
+        for p, pp, (i0, i1) in zip(self.parts, params["parts"],
+                                   self._in_slices()):
+            k = None
+            if train and key is not None:
+                k = jax.random.fold_in(key, i0)
+            y, aux = p.forward(pp, x[:, i0:i1], train=train, key=k)
+            ys.append(y)
+            auxs.append(aux)
+        return jnp.concatenate(ys, axis=1), auxs
+
+    def backprop(self, params, in_value, out_value, out_deriv, aux):
+        ds = []
+        for p, pp, (i0, i1), (o0, o1), a in zip(
+                self.parts, params["parts"], self._in_slices(),
+                self._out_slices(), aux or [None] * len(self.parts)):
+            ds.append(p.backprop(pp, in_value[:, i0:i1],
+                                 out_value[:, o0:o1],
+                                 out_deriv[:, o0:o1], a))
+        return jnp.concatenate(ds, axis=1)
+
+    def init_opt(self, ng_in: OnlineNaturalGradient,
+                 ng_out: OnlineNaturalGradient):
+        return {"parts": tuple(
+            p.init_opt(ng_in, ng_out)
+            if getattr(p, "trainable", False) else {}
+            for p in self.parts)}
+
+    def update(self, params, opt, in_value, out_deriv, lr, ng_in, ng_out):
+        new_p, new_o = [], []
+        for p, pp, oo, (i0, i1), (o0, o1) in zip(
+                self.parts, params["parts"], opt["parts"],
+                self._in_slices(), self._out_slices()):
+            if getattr(p, "trainable", False):
+                np_, no_ = p.update(pp, oo, in_value[:, i0:i1],
+                                    out_deriv[:, o0:o1], lr,
+                                    ng_in, ng_out)
+            else:
+                np_, no_ = pp, oo
+            new_p.append(np_)
+            new_o.append(no_)
+        return {"parts": tuple(new_p)}, {"parts": tuple(new_o)}
+
+
 def _conv_patch_indices(in_t, in_f, in_c, filt_t, filt_f,
                         stride_t, stride_f) -> np.ndarray:
     out_t = (in_t - filt_t) // stride_t + 1

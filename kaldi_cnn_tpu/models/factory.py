@@ -77,6 +77,44 @@ def make_convnet(cfg: Optional[ConvnetConfig] = None,
     return Nnet(comps)
 
 
+def make_convnet_ivector(cfg: Optional[ConvnetConfig] = None,
+                         ivector_dim: int = 16,
+                         use_pallas: bool = False) -> Nnet:
+    """CNN AM with an appended speaker iVector that bypasses the conv
+    front end (the Switchboard CNN + online-iVector configuration;
+    ref: egs/swbd local/online convnet scripts — the iVector rides
+    every input row and joins before the affine stack)."""
+    from kaldi_cnn_tpu.models.components import (
+        IdentityComponent, SliceParallelComponent)
+    cfg = cfg or ConvnetConfig()
+    conv = Conv2DComponent(
+        in_t=cfg.in_t, in_f=cfg.in_f, in_c=cfg.in_c,
+        filt_t=cfg.filt_t, filt_f=cfg.filt_f,
+        num_filters=cfg.num_filters, use_pallas=use_pallas)
+    pool = Maxpooling3DComponent(
+        in_t=conv.out_t, in_f=conv.out_f, in_c=cfg.num_filters,
+        pool_t=cfg.pool_t, pool_f=cfg.pool_f, pool_c=cfg.pool_c,
+        use_pallas=use_pallas)
+    front = SliceParallelComponent(parts=(
+        conv, IdentityComponent(ivector_dim)))
+    mid = SliceParallelComponent(parts=(
+        pool, IdentityComponent(ivector_dim)))
+    comps = [front, mid]
+    dim = pool.output_dim + ivector_dim
+    for _ in range(cfg.num_hidden_layers):
+        comps += [
+            AffineComponent(dim, cfg.pnorm_input_dim),
+            PnormComponent(cfg.pnorm_input_dim, cfg.pnorm_output_dim),
+            NormalizeComponent(cfg.pnorm_output_dim),
+        ]
+        dim = cfg.pnorm_output_dim
+    comps += [
+        AffineComponent(dim, cfg.num_pdfs, param_stddev=0.0),
+        SoftmaxComponent(cfg.num_pdfs),
+    ]
+    return Nnet(comps)
+
+
 @configclass
 class PnormDnnConfig:
     """p-norm DNN on (typically fMLLR) features

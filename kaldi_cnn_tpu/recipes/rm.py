@@ -39,7 +39,7 @@ logger = get_logger(__name__)
 
 
 def score_sweep(lats: Dict[str, "object"], refs, word_table,
-                scales=(0.05, 0.1, 0.2), wips=(-0.5, 0.0, 0.5)
+                scales=(0.02, 0.05, 0.1, 0.2), wips=(-1.0, -0.5, 0.0, 0.5)
                 ) -> Tuple[float, Tuple[float, float], Dict]:
     """Lattice rescoring sweep (ref: local/score.sh LMWT x WIP grid):
     decode once, rescore the lattices per operating point."""
@@ -107,7 +107,7 @@ def estimate_test_fmllr(am, hclg: CompiledGraph, lang: Lang,
 def run(
     num_utts: int = 140,
     seed: int = 29,
-    nnet_epochs: int = 8,
+    nnet_epochs: int = 25,
     metrics: Optional[MetricsWriter] = None,
     use_pallas_features: bool = False,
 ) -> Dict:
@@ -209,8 +209,8 @@ def run(
     params, _ = train_nnet(
         net, egs_train, egs_valid,
         TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
-                    initial_learning_rate=0.02,
-                    final_learning_rate=0.004, seed=seed))
+                    initial_learning_rate=0.08,
+                    final_learning_rate=0.008, seed=seed))
     logger.info("p-norm DNN trained in %.1fs", timer.elapsed())
     am_nnet = AmNnet(net, num_pdfs)
     counts = np.bincount(egs_train.y, minlength=num_pdfs)

@@ -1,0 +1,177 @@
+"""The Switchboard-style recipe: CNN acoustic model + speaker iVectors
+(ref: BASELINE.json config "CNN + online iVector speaker adaptation
+(Switchboard)"; upstream egs/swbd/s5b local/online convnet scripts,
+SURVEY.md §3.5 pipeline).
+
+The synthetic corpus gets real per-speaker variation (vocal-tract-
+length formant scaling), a diag UBM + total-variability extractor
+produces per-utterance iVectors, and the CNN consumes
+[fbank (t,f,c) volume | iVector] through SliceParallelComponent.
+
+Run: ``python -m kaldi_cnn_tpu.recipes.swbd``
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from kaldi_cnn_tpu.core.logging import MetricsWriter, Timer, get_logger
+from kaldi_cnn_tpu.decode.decoder import lattice_decode
+from kaldi_cnn_tpu.decode.graph import CompiledGraph
+from kaldi_cnn_tpu.decode.lattice import shortest_path
+from kaldi_cnn_tpu.decode.score import wer_details
+from kaldi_cnn_tpu.gmm.train import (
+    DeltasTrainOptions, MonoTrainOptions, train_deltas, train_mono)
+from kaldi_cnn_tpu.ivector import (
+    IvectorExtractor, length_normalize, train_ubm)
+from kaldi_cnn_tpu.lang.arpa import make_unigram_arpa
+from kaldi_cnn_tpu.lang.hclg import Lang, make_hclg_from_arpa
+from kaldi_cnn_tpu.recipes import synthetic
+from kaldi_cnn_tpu.recipes.rm import score_sweep
+from kaldi_cnn_tpu.recipes.wsj import (
+    compute_fbank_volumes, make_cnn_egs, splice_volume)
+from kaldi_cnn_tpu.recipes.yesno import compute_features
+
+logger = get_logger(__name__)
+
+
+def run(
+    num_speakers: int = 24,
+    utts_per_speaker: int = 7,
+    seed: int = 43,
+    nnet_epochs: int = 25,
+    num_filters: int = 48,
+    ivector_dim: int = 12,
+    metrics: Optional[MetricsWriter] = None,
+) -> Dict:
+    import jax
+    from kaldi_cnn_tpu.models.factory import (
+        ConvnetConfig, make_convnet_ivector)
+    from kaldi_cnn_tpu.models.nnet import AmNnet
+    from kaldi_cnn_tpu.train.egs import Egs
+    from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
+
+    lex = synthetic.digits_lexicon()
+    wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
+    corpus, spk_of = synthetic.make_speaker_corpus(
+        lex, wp, num_speakers, utts_per_speaker, 1, 4, seed)
+    train, test = corpus.split(0.2)
+    train, dev = train.split(0.15)
+    logger.info("corpus: %d train / %d dev / %d test over %d speakers",
+                len(train.waves), len(dev.waves), len(test.waves),
+                num_speakers)
+    timer = Timer()
+    mfcc_tr = compute_features(train, seed=seed)
+    lang = Lang.create(lex)
+    am0, ali0 = train_mono(mfcc_tr, train.transcripts, lang,
+                           MonoTrainOptions(num_iters=18, totgauss=300))
+    am1, ali1, tri = train_deltas(
+        mfcc_tr, train.transcripts, lang, ali0, lang.trans_model,
+        DeltasTrainOptions(num_iters=12, totgauss=700, max_leaves=250))
+    logger.info("GMM bootstrap in %.1fs", timer.elapsed())
+
+    # --- iVector system (ref: steps/online/nnet2/train_diag_ubm.sh +
+    # train_ivector_extractor.sh + extract_ivectors_online.sh) --------
+    timer.reset()
+    raw13 = {u: f[:, :13] for u, f in mfcc_tr.items()}
+    ubm = train_ubm(list(raw13.values()), 16, num_iters=4, seed=seed)
+    ext = IvectorExtractor(ubm, ivector_dim, seed=seed)
+    ext.train(list(raw13.values()), num_iters=4)
+
+    def ivectors_for(corpus_set, seed_off):
+        f = compute_features(corpus_set, seed=seed + seed_off)
+        return {u: length_normalize(ext.extract(ff[:, :13])).astype(
+            np.float32) for u, ff in f.items()}
+
+    iv_tr = {u: length_normalize(ext.extract(f)).astype(np.float32)
+             for u, f in raw13.items()}
+    iv_dev = ivectors_for(dev, 101)
+    iv_te = ivectors_for(test, 102)
+    logger.info("iVectors in %.1fs", timer.elapsed())
+
+    num_bins = 36
+    left, right = 5, 5
+    vol_tr = compute_fbank_volumes(train, num_bins, seed)
+    vol_dev = compute_fbank_volumes(dev, num_bins, seed + 1)
+    vol_te = compute_fbank_volumes(test, num_bins, seed + 2)
+
+    tid2pdf = tri.trans_model.trans_id_to_pdf_array()
+    num_pdfs = tri.trans_model.num_pdfs
+    egs_vol = make_cnn_egs(vol_tr, ali1, tid2pdf, left, right, seed)
+    # append the utterance iVector to every row (ref: the online
+    # pipeline appends the current iVector estimate per chunk)
+    ivec_rows = np.concatenate([
+        np.repeat(iv_tr[u][None, :], vol_tr[u].shape[0], axis=0)
+        for u in sorted(vol_tr) if u in ali1
+        and len(ali1[u]) == vol_tr[u].shape[0]])
+    from kaldi_cnn_tpu.core.rng import np_rng
+    perm = np_rng(seed, "cnn_egs_shuffle").permutation(len(egs_vol.y))
+    # make_cnn_egs shuffled with the same seed: apply same perm to ivecs
+    ivec_rows = ivec_rows[perm]
+    x = np.concatenate([egs_vol.x, ivec_rows], axis=1)
+    egs_all = Egs(x, egs_vol.y, egs_vol.weights)
+    n_valid = max(len(egs_all) // 20, 256)
+    egs_valid = Egs(egs_all.x[:n_valid], egs_all.y[:n_valid],
+                    egs_all.weights[:n_valid])
+    egs_train = Egs(egs_all.x[n_valid:], egs_all.y[n_valid:],
+                    egs_all.weights[n_valid:])
+
+    cfg = ConvnetConfig(
+        in_t=left + 1 + right, in_f=num_bins, in_c=3,
+        filt_t=4, filt_f=7, num_filters=num_filters,
+        pool_t=2, pool_f=3, pool_c=1,
+        num_hidden_layers=2, pnorm_input_dim=800, pnorm_output_dim=160,
+        num_pdfs=num_pdfs)
+    net = make_convnet_ivector(cfg, ivector_dim=ivector_dim)
+    assert net.input_dim == egs_train.x.shape[1]
+    timer.reset()
+    params, _ = train_nnet(
+        net, egs_train, egs_valid,
+        TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
+                    initial_learning_rate=0.08,
+                    final_learning_rate=0.008, seed=seed))
+    train_t = timer.elapsed()
+    logger.info("CNN+ivec trained in %.1fs", train_t)
+    am_nnet = AmNnet(net, num_pdfs)
+    am_nnet.set_priors_from_counts(
+        np.bincount(egs_train.y, minlength=num_pdfs))
+
+    hclg = CompiledGraph(make_hclg_from_arpa(tri, make_unigram_arpa(wp)),
+                         tid2pdf)
+
+    def nnet_decode(vols, ivs):
+        lats = {}
+        for utt, v in vols.items():
+            x = splice_volume(v, left, right)
+            x = np.concatenate(
+                [x, np.repeat(ivs[utt][None, :], x.shape[0], 0)], axis=1)
+            ll = am_nnet.loglikes(params, x)
+            lats[utt] = lattice_decode(hclg, ll, acoustic_scale=0.1,
+                                       beam=60.0, lattice_beam=8.0,
+                                       max_active=2000)
+        return lats
+
+    dev_lats = nnet_decode(vol_dev, iv_dev)
+    dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,
+                                 tri.word_table)
+    logger.info("CNN+ivec dev WER %.2f%% at %s", dev_wer, pt)
+    test_lats = nnet_decode(vol_te, iv_te)
+    hyps = {}
+    for utt, lat in test_lats.items():
+        _, wids, _ = shortest_path(lat, 1.0, pt[0], pt[1])
+        hyps[utt] = [tri.word_table.sym(int(w)) for w in wids]
+    result = wer_details(test.transcripts, hyps)
+    result.update(dev_wer=dev_wer)
+    logger.info("swbd CNN+ivec test WER %.2f%% (%d err / %d words)",
+                result["wer"], result["errors"], result["words"])
+    if metrics:
+        metrics.write("swbd_result", **result)
+    return result
+
+
+if __name__ == "__main__":
+    import sys
+    res = run()
+    sys.exit(0 if res["wer"] < 20.0 else 1)

@@ -106,7 +106,7 @@ def splice_volume(v: np.ndarray, left: int, right: int) -> np.ndarray:
 def run(
     num_utts: int = 160,
     seed: int = 37,
-    nnet_epochs: int = 8,
+    nnet_epochs: int = 25,
     num_filters: int = 64,
     use_pallas: bool = False,
     metrics: Optional[MetricsWriter] = None,
@@ -171,8 +171,8 @@ def run(
     params, _ = train_nnet(
         net, egs_train, egs_valid,
         TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
-                    initial_learning_rate=0.02,
-                    final_learning_rate=0.004, seed=seed))
+                    initial_learning_rate=0.08,
+                    final_learning_rate=0.008, seed=seed))
     train_t = timer.elapsed()
     frames = nnet_epochs * len(egs_train)
     logger.info("CNN trained in %.1fs (%.0f audio-s/s)", train_t,

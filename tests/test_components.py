@@ -163,3 +163,42 @@ def test_maxpool3d_forward_and_backprop(rng, key):
     np.testing.assert_allclose(np.asarray(y).reshape(3, 2, 2, 2),
                                v.max(axis=(2, 4, 6)), atol=1e-6)
     check_backprop(c, {}, x, rng)
+
+
+def test_slice_parallel_backprop(rng, key):
+    from kaldi_cnn_tpu.models.components import (
+        IdentityComponent, SliceParallelComponent)
+    conv = Conv2DComponent(in_t=4, in_f=6, in_c=1, filt_t=2, filt_f=3,
+                           num_filters=3)
+    c = SliceParallelComponent(parts=(conv, IdentityComponent(5)))
+    p = c.init(key)
+    assert c.input_dim == conv.input_dim + 5
+    assert c.output_dim == conv.output_dim + 5
+    x = rng.normal(size=(6, c.input_dim)).astype(np.float32)
+    y, aux = c.forward(p, jnp.asarray(x))
+    # identity branch passes through
+    np.testing.assert_allclose(np.asarray(y)[:, -5:], x[:, -5:])
+    check_backprop(c, p, x, rng)
+
+
+def test_slice_parallel_update_trains(rng, key):
+    from kaldi_cnn_tpu.models.components import (
+        IdentityComponent, SliceParallelComponent)
+    from kaldi_cnn_tpu.models.nnet import Nnet
+    conv = Conv2DComponent(in_t=4, in_f=6, in_c=1, filt_t=2, filt_f=3,
+                           num_filters=3)
+    net = Nnet([
+        SliceParallelComponent(parts=(conv, IdentityComponent(4))),
+        AffineComponent(conv.output_dim + 4, 6, param_stddev=0.0),
+        SoftmaxComponent(6),
+    ])
+    params = net.init(key)
+    opt = net.init_opt()
+    x = rng.normal(size=(64, net.input_dim)).astype(np.float32)
+    y = rng.integers(0, 6, 64).astype(np.int32)
+    o0 = float(net.objf(params, jnp.asarray(x), jnp.asarray(y)))
+    for s in range(30):
+        params, opt, objf = net.train_step(params, opt, jnp.asarray(x),
+                                           jnp.asarray(y), 0.1)
+    o1 = float(net.objf(params, jnp.asarray(x), jnp.asarray(y)))
+    assert o1 > o0 + 0.2
