@@ -50,3 +50,24 @@ def test_config_file(tmp_path):
     cfg = parse_cli(Outer, [f"--config={p}"])
     assert cfg.frame_opts.num_mel_bins == 36
     assert cfg.beam == 12.0
+
+
+def test_accu_profile_and_step_timer():
+    import time as _time
+    from kaldi_cnn_tpu.core.profiling import (
+        StepTimer, accu_profile, print_profile)
+    with accu_profile("unit_stage"):
+        _time.sleep(0.01)
+    with accu_profile("unit_stage"):
+        _time.sleep(0.01)
+    prof = print_profile(reset=True)
+    assert prof["unit_stage"]["calls"] == 2
+    assert prof["unit_stage"]["total_s"] >= 0.02
+    st = StepTimer(frames_per_step=512)
+    for _ in range(3):
+        st.tic()
+        _time.sleep(0.005)
+        st.toc()
+    s = st.summary()
+    assert s["steps"] == 3
+    assert s["audio_seconds_per_sec"] > 0
