@@ -70,44 +70,98 @@ class Lattice:
                 + acoustic_scale * self.arc_acoustic
                 + word_ins_penalty * (self.arc_olabel > 0))
 
+    # -- cached structure for vectorized DAG sweeps ------------------------
+    def _levels(self):
+        """(state depth, arcs grouped by src depth) — processing arcs in
+        ascending src-depth is a valid relaxation order on a DAG, which
+        turns every sweep into ~depth vectorized scatter ops instead of
+        a python loop over arcs."""
+        if getattr(self, "_lv_cache", None) is not None:
+            return self._lv_cache
+        depth = np.zeros(self.num_states, np.int64)
+        for _ in range(self.num_states + 1):
+            upd = np.zeros(self.num_states, np.int64)
+            np.maximum.at(upd, self.arc_dst, depth[self.arc_src] + 1)
+            new = np.maximum(depth, upd)
+            if (new == depth).all():
+                break
+            depth = new
+        else:
+            raise ValueError("lattice has a cycle")
+        order = np.argsort(depth[self.arc_src], kind="stable")
+        src_depth_sorted = depth[self.arc_src][order]
+        max_d = int(depth.max()) if self.num_states else 0
+        bounds = np.searchsorted(src_depth_sorted,
+                                 np.arange(max_d + 2))
+        self._lv_cache = (depth, order, bounds)
+        return self._lv_cache
+
+    def sweep_min_forward(self, w: np.ndarray) -> np.ndarray:
+        """Viterbi forward costs over scalar arc costs w."""
+        depth, order, bounds = self._levels()
+        dist = np.full(self.num_states, np.inf)
+        dist[self.start] = 0.0
+        for d in range(len(bounds) - 1):
+            sel = order[bounds[d]:bounds[d + 1]]
+            if len(sel) == 0:
+                continue
+            cand = dist[self.arc_src[sel]] + w[sel]
+            np.minimum.at(dist, self.arc_dst[sel], cand)
+        return dist
+
+    def sweep_min_backward(self, w: np.ndarray,
+                           fin: np.ndarray) -> np.ndarray:
+        depth, order, bounds = self._levels()
+        bwd = fin.astype(np.float64).copy()
+        for d in range(len(bounds) - 2, -1, -1):
+            sel = order[bounds[d]:bounds[d + 1]]
+            if len(sel) == 0:
+                continue
+            cand = w[sel] + bwd[self.arc_dst[sel]]
+            np.minimum.at(bwd, self.arc_src[sel], cand)
+        return bwd
+
+
+def _in_arc_groups(lat: Lattice):
+    if getattr(lat, "_in_cache", None) is None:
+        order = np.argsort(lat.arc_dst, kind="stable")
+        bounds = np.searchsorted(lat.arc_dst[order],
+                                 np.arange(lat.num_states + 1))
+        lat._in_cache = (order, bounds)
+    return lat._in_cache
+
 
 def shortest_path(lat: Lattice, lm_scale: float = 1.0,
                   acoustic_scale: float = 1.0,
                   word_ins_penalty: float = 0.0
                   ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Best path under scaled costs -> (tids, word ids, total cost)
-    (ref: lattice-best-path.cc)."""
-    w = lat.arc_cost(lm_scale, acoustic_scale, word_ins_penalty)
-    order = lat.topo_order()
-    dist = np.full(lat.num_states, INF, np.float64)
-    back = np.full(lat.num_states, -1, np.int64)
-    dist[lat.start] = 0.0
-    arc_by_src: Dict[int, List[int]] = {}
-    for a in range(lat.num_arcs):
-        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-    for s in order:
-        if not np.isfinite(dist[s]):
-            continue
-        for a in arc_by_src.get(int(s), ()):
-            d = int(lat.arc_dst[a])
-            nd = dist[s] + w[a]
-            if nd < dist[d]:
-                dist[d] = nd
-                back[d] = a
+    (ref: lattice-best-path.cc).  Vectorized level sweeps; the path is
+    recovered by walking in-arcs backward from the best final state."""
+    w = lat.arc_cost(lm_scale, acoustic_scale,
+                     word_ins_penalty).astype(np.float64)
+    dist = lat.sweep_min_forward(w)
     total = dist + np.where(np.isfinite(lat.final_graph),
-                            lm_scale * lat.final_graph, INF)
+                            lm_scale * lat.final_graph, np.inf)
     best = int(np.argmin(total))
     if not np.isfinite(total[best]):
         return np.zeros(0, np.int32), np.zeros(0, np.int32), float("inf")
+    in_order, in_bounds = _in_arc_groups(lat)
     tids, words = [], []
     s = best
-    while back[s] >= 0:
-        a = int(back[s])
+    guard = 0
+    while s != lat.start or dist[s] > 0.0:
+        arcs = in_order[in_bounds[s]:in_bounds[s + 1]]
+        cand = dist[lat.arc_src[arcs]] + w[arcs]
+        a = int(arcs[int(np.argmin(np.abs(cand - dist[s])))])
         if lat.arc_ilabel[a] > 0:
             tids.append(int(lat.arc_ilabel[a]))
         if lat.arc_olabel[a] > 0:
             words.append(int(lat.arc_olabel[a]))
         s = int(lat.arc_src[a])
+        guard += 1
+        if guard > lat.num_arcs + 1:
+            raise RuntimeError("backtrace loop")
     return (np.asarray(tids[::-1], np.int32),
             np.asarray(words[::-1], np.int32), float(total[best]))
 
@@ -116,30 +170,25 @@ def _alpha_beta(lat: Lattice, w: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Log-semiring forward/backward state scores over scalar costs
     (ref: lattice-functions.cc LatticeForwardBackward; here in -cost =
-    logprob domain)."""
-    order = lat.topo_order()
+    logprob domain), as vectorized level sweeps."""
+    depth, order, bounds = lat._levels()
     alpha = np.full(lat.num_states, -np.inf, np.float64)
-    beta = np.full(lat.num_states, -np.inf, np.float64)
     alpha[lat.start] = 0.0
-    arc_by_src: Dict[int, List[int]] = {}
-    arc_by_dst: Dict[int, List[int]] = {}
-    for a in range(lat.num_arcs):
-        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-        arc_by_dst.setdefault(int(lat.arc_dst[a]), []).append(a)
-    for s in order:
-        if alpha[s] == -np.inf:
+    for d in range(len(bounds) - 1):
+        sel = order[bounds[d]:bounds[d + 1]]
+        if len(sel) == 0:
             continue
-        for a in arc_by_src.get(int(s), ()):
-            d = int(lat.arc_dst[a])
-            alpha[d] = np.logaddexp(alpha[d], alpha[s] - w[a])
-    fin = np.where(np.isfinite(lat.final_graph), -lat.final_graph.astype(
-        np.float64), -np.inf)
-    for s in order[::-1]:
-        b = fin[s]
-        for a in arc_by_src.get(int(s), ()):
-            d = int(lat.arc_dst[a])
-            b = np.logaddexp(b, beta[d] - w[a])
-        beta[s] = b
+        np.logaddexp.at(alpha, lat.arc_dst[sel],
+                        alpha[lat.arc_src[sel]] - w[sel])
+    fin = np.where(np.isfinite(lat.final_graph),
+                   -lat.final_graph.astype(np.float64), -np.inf)
+    beta = fin.copy()
+    for d in range(len(bounds) - 2, -1, -1):
+        sel = order[bounds[d]:bounds[d + 1]]
+        if len(sel) == 0:
+            continue
+        np.logaddexp.at(beta, lat.arc_src[sel],
+                        beta[lat.arc_dst[sel]] - w[sel])
     tot = float(np.logaddexp.reduce(alpha + fin))
     return alpha, beta, tot
 
@@ -159,23 +208,10 @@ def prune_lattice(lat: Lattice, beam: float, lm_scale: float = 1.0,
     """Keep arcs on paths within ``beam`` of the best path
     (ref: lattice-prune.cc PruneLattice)."""
     w = lat.arc_cost(lm_scale, acoustic_scale).astype(np.float64)
-    order = lat.topo_order()
-    fwd = np.full(lat.num_states, np.inf)
-    fwd[lat.start] = 0.0
-    arc_by_src: Dict[int, List[int]] = {}
-    for a in range(lat.num_arcs):
-        arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-    for s in order:
-        for a in arc_by_src.get(int(s), ()):
-            d = int(lat.arc_dst[a])
-            fwd[d] = min(fwd[d], fwd[s] + w[a])
+    fwd = lat.sweep_min_forward(w)
     fin = np.where(np.isfinite(lat.final_graph),
                    lm_scale * lat.final_graph, np.inf)
-    bwd = fin.astype(np.float64).copy()
-    for s in order[::-1]:
-        for a in arc_by_src.get(int(s), ()):
-            d = int(lat.arc_dst[a])
-            bwd[s] = min(bwd[s], w[a] + bwd[d])
+    bwd = lat.sweep_min_backward(w, fin)
     best = float(np.min(fwd + bwd))
     keep = fwd[lat.arc_src] + w + bwd[lat.arc_dst] <= best + beam
     return _sub_lattice(lat, keep)
@@ -210,16 +246,12 @@ def nbest(lat: Lattice, n: int, lm_scale: float = 1.0,
     import heapq
     w = lat.arc_cost(lm_scale, acoustic_scale, word_ins_penalty).astype(
         np.float64)
-    order = lat.topo_order()
     fin = np.where(np.isfinite(lat.final_graph),
                    lm_scale * lat.final_graph, np.inf)
-    bwd = fin.astype(np.float64).copy()
+    bwd = lat.sweep_min_backward(w, fin)
     arc_by_src: Dict[int, List[int]] = {}
     for a in range(lat.num_arcs):
         arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-    for s in order[::-1]:
-        for a in arc_by_src.get(int(s), ()):
-            bwd[s] = min(bwd[s], w[a] + bwd[int(lat.arc_dst[a])])
     if not np.isfinite(bwd[lat.start]):
         return []
     heap = [(float(bwd[lat.start]), 0.0, lat.start, ())]
@@ -254,16 +286,12 @@ def determinize_lattice(lat: Lattice, lm_scale: float = 1.0,
     beam-pruned, so the path count is modest)."""
     import heapq
     w = lat.arc_cost(lm_scale, acoustic_scale).astype(np.float64)
-    order = lat.topo_order()
     fin = np.where(np.isfinite(lat.final_graph),
                    lm_scale * lat.final_graph, np.inf)
-    bwd = fin.astype(np.float64).copy()
+    bwd = lat.sweep_min_backward(w, fin)
     arc_by_src: Dict[int, List[int]] = {}
     for a in range(lat.num_arcs):
         arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-    for s in order[::-1]:
-        for a in arc_by_src.get(int(s), ()):
-            bwd[s] = min(bwd[s], w[a] + bwd[int(lat.arc_dst[a])])
     heap = [(float(bwd[lat.start]), 0.0, lat.start, (), ())]
     best_by_words: Dict[Tuple, Tuple[float, Tuple[int, ...]]] = {}
     pops = 0
