@@ -99,17 +99,9 @@ class Nnet:
         return y
 
     # -- the train step ----------------------------------------------------
-    def _train_step_impl(self, params, opt, x, labels, weights, lr, key):
-        n = x.shape[0]
-        out, acts, auxs = self.forward(params, x, train=True, key=key)
-        post = jnp.maximum(out, 1e-20)
-        picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
-        wsum = jnp.maximum(jnp.sum(weights), 1e-8)
-        objf = jnp.sum(jnp.log(picked) * weights) / wsum
-        # deriv of (sum_n w_n log out[n, label_n]) / wsum wrt out
-        one_hot = jax.nn.one_hot(labels, out.shape[1], dtype=jnp.float32)
-        out_deriv = one_hot * (weights / wsum)[:, None] / picked[:, None]
-
+    def _backward_update(self, params, opt, acts, auxs, out_deriv, lr):
+        """Shared backward walk + NG-SGD updates given the derivative at
+        the network OUTPUT (the reference's NnetUpdater::Backprop)."""
         new_params = list(params)
         new_opt = list(opt)
         deriv = out_deriv
@@ -123,7 +115,51 @@ class Nnet:
             if i > 0:
                 deriv = c.backprop(params[i], in_value, out_value, deriv,
                                    auxs[i])
-        return tuple(new_params), tuple(new_opt), objf
+        return tuple(new_params), tuple(new_opt)
+
+    def _train_step_impl(self, params, opt, x, labels, weights, lr, key):
+        n = x.shape[0]
+        out, acts, auxs = self.forward(params, x, train=True, key=key)
+        post = jnp.maximum(out, 1e-20)
+        picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
+        wsum = jnp.maximum(jnp.sum(weights), 1e-8)
+        objf = jnp.sum(jnp.log(picked) * weights) / wsum
+        # deriv of (sum_n w_n log out[n, label_n]) / wsum wrt out
+        one_hot = jax.nn.one_hot(labels, out.shape[1], dtype=jnp.float32)
+        out_deriv = one_hot * (weights / wsum)[:, None] / picked[:, None]
+        new_params, new_opt = self._backward_update(
+            params, opt, acts, auxs, out_deriv, lr)
+        return new_params, new_opt, objf
+
+    def _discriminative_step_impl(self, params, opt, x, num_post,
+                                  den_post, lr, key):
+        """Lattice-based sequence-discriminative step
+        (ref: nnet2/nnet-compute-discriminative.cc, MMI case): the
+        objective gradient at the softmax output is
+        (numerator occupancy - denominator occupancy) per (frame, pdf);
+        through y that is (num - den) / y."""
+        out, acts, auxs = self.forward(params, x, train=True, key=key)
+        y = jnp.maximum(out, 1e-20)
+        n_frames = jnp.maximum(jnp.sum(num_post), 1e-8)
+        objf = (jnp.sum(num_post * jnp.log(y))
+                - jnp.sum(den_post * jnp.log(y))) / n_frames
+        out_deriv = (num_post - den_post) / y / n_frames
+        new_params, new_opt = self._backward_update(
+            params, opt, acts, auxs, out_deriv, lr)
+        return new_params, new_opt, objf
+
+    def discriminative_step(self, params, opt, x, num_post, den_post,
+                            lr, key=None):
+        """jit-cached MMI-style update; num_post/den_post [N, P]."""
+        if key is None:
+            key = np.zeros(2, np.uint32)
+        shape_key = ("disc", x.shape)
+        if shape_key not in self._train_step_cache:
+            self._train_step_cache[shape_key] = jax.jit(
+                self._discriminative_step_impl)
+        return self._train_step_cache[shape_key](
+            params, opt, x, jnp.asarray(num_post), jnp.asarray(den_post),
+            jnp.asarray(lr, jnp.float32), key)
 
     def train_step(self, params, opt, x, labels, lr, key=None,
                    weights=None):

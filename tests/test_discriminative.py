@@ -1,0 +1,86 @@
+"""MMI / EBW discriminative training tests (ref: the objective-
+improvement checks of ebw-diag-gmm-test.cc and the nnet2
+discriminative pipeline)."""
+
+import numpy as np
+import pytest
+
+from kaldi_cnn_tpu.decode.graph import CompiledGraph
+from kaldi_cnn_tpu.gmm.train import MonoTrainOptions, train_mono
+from kaldi_cnn_tpu.lang.arpa import make_unigram_arpa
+from kaldi_cnn_tpu.lang.hclg import Lang, make_hclg_from_arpa
+from kaldi_cnn_tpu.recipes import synthetic
+from kaldi_cnn_tpu.recipes.yesno import compute_features
+from kaldi_cnn_tpu.train.discriminative import (
+    lattice_pdf_posteriors, mmi_train_gmm, mmi_train_nnet)
+
+
+@pytest.fixture(scope="module")
+def system():
+    lex = synthetic.yesno_lexicon()
+    wp = {"yes": 0.5, "no": 0.5}
+    corpus = synthetic.make_corpus(lex, wp, 16, 1, 2, 83)
+    feats = compute_features(corpus, seed=83)
+    lang = Lang.create(lex)
+    am, ali = train_mono(feats, corpus.transcripts, lang,
+                         MonoTrainOptions(num_iters=8, totgauss=80))
+    hclg = CompiledGraph(make_hclg_from_arpa(lang, make_unigram_arpa(wp)),
+                         lang.trans_model.trans_id_to_pdf_array())
+    return corpus, feats, lang, am, ali, hclg
+
+
+def test_lattice_pdf_posteriors_sum(system):
+    from kaldi_cnn_tpu.decode.decoder import lattice_decode
+    corpus, feats, lang, am, ali, hclg = system
+    utt = next(iter(feats))
+    f = feats[utt]
+    lat = lattice_decode(hclg, am.loglikes(f), acoustic_scale=0.1,
+                         beam=60.0, lattice_beam=10.0, max_active=0)
+    tm = lang.trans_model
+    post = lattice_pdf_posteriors(lat, tm.trans_id_to_pdf_array(),
+                                  tm.num_pdfs, f.shape[0], 1.0, 0.1)
+    assert post.shape == (f.shape[0], tm.num_pdfs)
+    assert np.allclose(post.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_gmm_mmi_improves_objf(system):
+    corpus, feats, lang, am, ali, hclg = system
+    am2, hist = mmi_train_gmm(am, lang, feats, ali, hclg, num_iters=3)
+    # MMI objective must improve over iterations
+    assert hist[-1] > hist[0] - 1e-6
+    assert hist[-1] >= hist[0]
+
+
+def test_nnet_mmi_improves_objf(system):
+    import jax
+    import jax.numpy as jnp
+    from kaldi_cnn_tpu.models.factory import PnormDnnConfig, make_pnorm_dnn
+    from kaldi_cnn_tpu.train.egs import EgsConfig, make_egs
+    from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
+    from kaldi_cnn_tpu.train.egs import Egs
+    from kaldi_cnn_tpu.features.functional import splice_frames
+    corpus, feats, lang, am, ali, hclg = system
+    tm = lang.trans_model
+    tid2pdf = tm.trans_id_to_pdf_array()
+    egs = make_egs(feats, ali, tid2pdf, EgsConfig(2, 2))
+    net = make_pnorm_dnn(PnormDnnConfig(
+        input_dim=egs.x.shape[1], num_hidden_layers=1,
+        pnorm_input_dim=200, pnorm_output_dim=40,
+        num_pdfs=tm.num_pdfs))
+    params, opt = train_nnet(
+        net, egs, Egs(egs.x[:256], egs.y[:256], egs.weights[:256]),
+        TrainConfig(num_epochs=6, minibatch_size=256,
+                    initial_learning_rate=0.08,
+                    final_learning_rate=0.02))
+    priors = np.bincount(egs.y, minlength=tm.num_pdfs) + 0.5
+    priors = priors / priors.sum()
+    utts = []
+    for utt, f in list(feats.items())[:6]:
+        if utt not in ali:
+            continue
+        sp = np.asarray(splice_frames(f, 2, 2))
+        utts.append((sp.astype(np.float32), tid2pdf[ali[utt]]))
+    params, opt, hist = mmi_train_nnet(
+        net, params, opt, utts, hclg, tid2pdf, priors,
+        num_iters=3, learning_rate=0.002)
+    assert hist[-1] >= hist[0] - 1e-4  # objective non-decreasing
