@@ -122,6 +122,54 @@ class Lattice:
         return bwd
 
 
+def save_lattices(path: str, lats: Dict[str, Lattice]) -> None:
+    """npz archive of lattices (the native on-disk form; ref:
+    lat.JOB.gz archives of steps/decode.sh)."""
+    blobs = {}
+    for utt, l in lats.items():
+        blobs[f"{utt}.meta"] = np.asarray([l.num_states, l.start],
+                                          np.int64)
+        blobs[f"{utt}.time"] = l.state_time
+        blobs[f"{utt}.arcs"] = np.stack(
+            [l.arc_src, l.arc_dst, l.arc_ilabel, l.arc_olabel]).astype(
+            np.int32)
+        blobs[f"{utt}.w"] = np.stack([l.arc_graph, l.arc_acoustic])
+        blobs[f"{utt}.final"] = l.final_graph
+    np.savez_compressed(path, **blobs)
+
+
+def load_lattices(path: str) -> Dict[str, Lattice]:
+    z = np.load(path)
+    utts = sorted({k.rsplit(".", 1)[0] for k in z.files})
+    out = {}
+    for u in utts:
+        meta = z[f"{u}.meta"]
+        arcs = z[f"{u}.arcs"]
+        w = z[f"{u}.w"]
+        out[u] = Lattice(
+            num_states=int(meta[0]), start=int(meta[1]),
+            state_time=z[f"{u}.time"],
+            arc_src=arcs[0], arc_dst=arcs[1],
+            arc_ilabel=arcs[2], arc_olabel=arcs[3],
+            arc_graph=w[0], arc_acoustic=w[1],
+            final_graph=z[f"{u}.final"])
+    return out
+
+
+def write_lattice_text(lat: Lattice, fh) -> None:
+    """Kaldi text-lattice format: one arc per line
+    ``src dst ilabel olabel graph,acoustic,`` and final lines
+    ``state graph,0,`` (ref: kaldi-lattice.cc LatticeWriter text
+    mode) — for interop/debugging."""
+    for a in range(lat.num_arcs):
+        fh.write(f"{lat.arc_src[a]} {lat.arc_dst[a]} "
+                 f"{lat.arc_ilabel[a]} {lat.arc_olabel[a]} "
+                 f"{lat.arc_graph[a]:.6g},{lat.arc_acoustic[a]:.6g},\n")
+    for s in range(lat.num_states):
+        if np.isfinite(lat.final_graph[s]):
+            fh.write(f"{s} {lat.final_graph[s]:.6g},0,\n")
+
+
 def _in_arc_groups(lat: Lattice):
     if getattr(lat, "_in_cache", None) is None:
         order = np.argsort(lat.arc_dst, kind="stable")

@@ -9,3 +9,4 @@ from kaldi_cnn_tpu.online2.decoder import (
     EndpointConfig, EndpointRule, SingleUtteranceDecoder)
 from kaldi_cnn_tpu.online2.ivector import (
     OnlineIvectorFeature, OnlineIvectorOptions)
+from kaldi_cnn_tpu.online2.recognizer import OnlineRecognizer

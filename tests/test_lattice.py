@@ -146,3 +146,28 @@ def test_rescoring_sweep_changes_result(decode_setup):
                                             beam=np.inf, max_active=0)
         assert list(words_r) == list(words_d)
         assert cost_r == pytest.approx(cost_d, rel=1e-4, abs=1e-2)
+
+
+def test_lattice_save_load_roundtrip(decode_setup, tmp_path):
+    import io as _io
+    from kaldi_cnn_tpu.decode.lattice import (
+        load_lattices, save_lattices, write_lattice_text)
+    corpus, feats, lang, am, hclg = decode_setup
+    lats = {}
+    for utt in list(feats)[:3]:
+        ll = am.loglikes(feats[utt])
+        lats[utt] = lattice_decode(hclg, ll, acoustic_scale=SCALE,
+                                   beam=60.0, lattice_beam=8.0,
+                                   max_active=0)
+    p = str(tmp_path / "lat.npz")
+    save_lattices(p, lats)
+    back = load_lattices(p)
+    assert set(back) == set(lats)
+    for u in lats:
+        _, w0, c0 = shortest_path(lats[u], 1.0, SCALE)
+        _, w1, c1 = shortest_path(back[u], 1.0, SCALE)
+        assert list(w0) == list(w1)
+        assert c0 == pytest.approx(c1, abs=1e-3)
+    buf = _io.StringIO()
+    write_lattice_text(lats[u], buf)
+    assert len(buf.getvalue().splitlines()) >= lats[u].num_arcs

@@ -129,3 +129,37 @@ def test_endpointing_on_trailing_silence(decode_setup):
     dec.advance(extended[ll.shape[0]:])
     assert dec.trailing_silence_frames(tm, sil) >= 100
     assert dec.endpoint_detected(tm, sil, cfg)
+
+
+def test_online_recognizer_matches_offline(decode_setup):
+    """Streaming wav chunks through the full recognizer must produce
+    the same words as the offline decode (ref: online2-wav-...-latgen
+    vs offline latgen equivalence)."""
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.decode.decoder import viterbi_decode
+    from kaldi_cnn_tpu.online2 import OnlineFeaturePipeline, OnlineRecognizer
+    corpus, feats, lang, am, hclg = decode_setup
+    utt = next(iter(corpus.waves))
+    wave = corpus.waves[utt]
+    opts = F.MfccOptions()
+    opts.frame_opts.samp_freq = float(corpus.sample_rate)
+    pipe = OnlineFeaturePipeline("mfcc", opts, deltas_order=2)
+    # offline comparison uses the same (no-dither, online-CMVN) features
+    rec = OnlineRecognizer(hclg, lambda f: am.loglikes(f),
+                           pipeline=pipe, acoustic_scale=0.1,
+                           beam=np.inf, max_active=0)
+    for i in range(0, len(wave), 1600):
+        rec.accept_waveform(wave[i:i + 1600])
+    rec.input_finished()
+    tids, words, cost = rec.result()
+    # offline: same feature pipeline, batch decode
+    pipe2 = OnlineFeaturePipeline("mfcc", opts, deltas_order=2)
+    pipe2.accept_waveform(wave)
+    pipe2.finish()
+    full = pipe2.get_frames(0, pipe2.num_frames_ready())
+    tids_o, words_o, cost_o = viterbi_decode(
+        hclg, am.loglikes(full), acoustic_scale=0.1, beam=np.inf,
+        max_active=0)
+    assert list(words) == list(words_o)
+    assert cost == pytest.approx(cost_o, abs=1e-2)
+    assert len(tids) == len(tids_o)
