@@ -120,6 +120,47 @@ def arpa_to_fst(lm: ArpaLm, word_table: SymbolTable,
     return f.connect().arcsort("ilabel")
 
 
+def estimate_bigram_arpa(transcripts, discount: float = 0.5) -> str:
+    """Absolute-discounted bigram LM with backoff from training
+    transcripts (ref: the train_lm.sh-era Good-Turing/Kneser-Ney
+    pipelines, simplified to absolute discounting — enough for the
+    recipe-scale graphs)."""
+    uni: Dict[str, float] = {}
+    bi: Dict[tuple, float] = {}
+    for words in (transcripts.values()
+                  if isinstance(transcripts, dict) else transcripts):
+        seq = ["<s>"] + list(words) + ["</s>"]
+        for w in seq[1:]:
+            uni[w] = uni.get(w, 0.0) + 1.0
+        for a, b in zip(seq, seq[1:]):
+            bi[(a, b)] = bi.get((a, b), 0.0) + 1.0
+    uni_total = sum(uni.values())
+    vocab = sorted(set(uni) | {"<s>"})
+    # unigram probs (with <s> given prob ~0 as in ARPA convention)
+    uprob = {w: max(uni.get(w, 0.0), 0.01) / uni_total for w in vocab}
+    # bigram with absolute discounting; backoff weight per history
+    hist_count: Dict[str, float] = {}
+    hist_types: Dict[str, int] = {}
+    for (a, b), c in bi.items():
+        hist_count[a] = hist_count.get(a, 0.0) + c
+        hist_types[a] = hist_types.get(a, 0) + 1
+    lines = ["\\data\\", f"ngram 1={len(vocab)}",
+             f"ngram 2={len(bi)}", "", "\\1-grams:"]
+    for w in vocab:
+        lp = -99.0 if w == "<s>" else math.log10(uprob[w])
+        if w in hist_count:
+            bow = (discount * hist_types[w]) / hist_count[w]
+            lines.append(f"{lp:.6f} {w} {math.log10(max(bow, 1e-10)):.6f}")
+        else:
+            lines.append(f"{lp:.6f} {w}")
+    lines += ["", "\\2-grams:"]
+    for (a, b), c in sorted(bi.items()):
+        p = (c - discount) / hist_count[a]
+        lines.append(f"{math.log10(max(p, 1e-10)):.6f} {a} {b}")
+    lines += ["", "\\end\\"]
+    return "\n".join(lines)
+
+
 def make_unigram_arpa(word_probs: Dict[str, float]) -> str:
     """Tiny helper to synthesize a unigram ARPA text for test recipes."""
     n = len(word_probs) + 2

@@ -161,3 +161,36 @@ def test_hclg_best_path_words():
         assert 1 <= t <= tm.num_transition_ids
     words = [lang.word_table.sym(o) for o in ols]
     assert all(w in ("yes", "no") for w in words)
+
+
+def test_estimate_bigram_arpa_roundtrip():
+    from kaldi_cnn_tpu.lang.arpa import estimate_bigram_arpa
+    transcripts = [["yes", "no"], ["yes", "no"], ["yes", "yes"],
+                   ["no", "yes", "no"]]
+    text = estimate_bigram_arpa(transcripts)
+    lm = parse_arpa(text)
+    assert lm.max_order == 2
+    lex = tiny_lexicon()
+    _, wt, _ = lex.make_symbol_tables()
+    g = arpa_to_fst(lm, wt)
+    # project the #0 backoff ilabel to eps (as rmdisambig does after
+    # composition) so accepts_cost can traverse backoff arcs
+    bo = wt.id("#0")
+    for s in range(g.num_states):
+        for a in g.arcs[s]:
+            if a.ilabel == bo:
+                a.ilabel = EPS
+    # frequent path (yes no: 3 counts) cheaper than rare (no no: unseen,
+    # goes through backoff)
+    c_seen = accepts_cost(g, [wt.id("yes"), wt.id("no")])
+    c_unseen = accepts_cost(g, [wt.id("no"), wt.id("no")])
+    assert math.isfinite(c_seen) and math.isfinite(c_unseen)
+    assert c_seen < c_unseen
+
+
+def test_large_lexicon_unique_prons():
+    from kaldi_cnn_tpu.recipes.synthetic import large_lexicon
+    lex = large_lexicon(num_words=40)
+    assert len(lex.entries) == 40
+    prons = [tuple(p) for e in lex.entries.values() for p, _ in e]
+    assert len(set(prons)) == len(prons)
