@@ -462,6 +462,182 @@ def mbr_decode(lat: Lattice, lm_scale: float = 1.0,
     return out
 
 
+def push_lattice(lat: Lattice) -> Lattice:
+    """Weight pushing toward the initial state (ref: push-lattice.cc
+    PushCompactLatticeWeights): after pushing, the minimum cost from
+    every co-accessible state to a final state is zero, so partial-path
+    costs are meaningful prefixes of total costs.  The potential is
+    computed in the combined (graph + acoustic) tropical semiring and
+    applied to the graph component only, so per-arc acoustic costs stay
+    raw/rescorable; total path costs are preserved exactly (the start
+    potential is re-added on arcs leaving the start state, mirroring
+    the reference's keep-total-weight behavior)."""
+    w = (lat.arc_graph.astype(np.float64)
+         + lat.arc_acoustic.astype(np.float64))
+    fin = np.where(np.isfinite(lat.final_graph),
+                   lat.final_graph.astype(np.float64), np.inf)
+    phi = lat.sweep_min_backward(w, fin)        # min cost to final
+    phi_safe = np.where(np.isfinite(phi), phi, 0.0)
+    new_graph = (lat.arc_graph.astype(np.float64)
+                 + phi_safe[lat.arc_dst] - phi_safe[lat.arc_src])
+    start_arcs = lat.arc_src == lat.start
+    new_graph[start_arcs] += phi_safe[lat.start]
+    new_final = np.where(np.isfinite(lat.final_graph),
+                         lat.final_graph.astype(np.float64) - phi_safe,
+                         np.inf)
+    # a final start state also carries the start potential back
+    if np.isfinite(lat.final_graph[lat.start]):
+        new_final[lat.start] += phi_safe[lat.start]
+    out = Lattice(
+        num_states=lat.num_states, start=lat.start,
+        state_time=lat.state_time,
+        arc_src=lat.arc_src, arc_dst=lat.arc_dst,
+        arc_ilabel=lat.arc_ilabel, arc_olabel=lat.arc_olabel,
+        arc_graph=new_graph.astype(np.float32),
+        arc_acoustic=lat.arc_acoustic,
+        final_graph=new_final.astype(np.float32))
+    return out
+
+
+def minimize_lattice(lat: Lattice) -> Lattice:
+    """Suffix-sharing state merge (ref: minimize-lattice.cc
+    MinimizeLattice): states whose outgoing arc sets (labels, weights,
+    destination class) and final weights are identical are merged.
+    Classic backward hash refinement; exact on DAGs, preserves every
+    path with its weights."""
+    order = lat.topo_order()[::-1]               # reverse topological
+    out_order = np.argsort(lat.arc_src, kind="stable")
+    starts = np.searchsorted(lat.arc_src[out_order],
+                             np.arange(lat.num_states))
+    ends = np.searchsorted(lat.arc_src[out_order],
+                           np.arange(lat.num_states) + 1)
+    cls = np.full(lat.num_states, -1, np.int64)
+    sig_to_cls: Dict[tuple, int] = {}
+    for s in order:
+        arcs = out_order[starts[s]:ends[s]]
+        sig_arcs = tuple(sorted(
+            (int(lat.arc_ilabel[a]), int(lat.arc_olabel[a]),
+             round(float(lat.arc_graph[a]), 6),
+             round(float(lat.arc_acoustic[a]), 6),
+             int(cls[lat.arc_dst[a]]))
+            for a in arcs))
+        f = float(lat.final_graph[s])
+        sig = (round(f, 6) if np.isfinite(f) else None, sig_arcs)
+        c = sig_to_cls.get(sig)
+        if c is None:
+            c = len(sig_to_cls)
+            sig_to_cls[sig] = c
+        cls[int(s)] = c
+    # one representative state per class, reached classes only
+    keep_cls = np.zeros(len(sig_to_cls), bool)
+    keep_cls[cls[lat.start]] = True
+    src_cls, dst_cls = cls[lat.arc_src], cls[lat.arc_dst]
+    for _ in range(lat.num_states):
+        prev = keep_cls.copy()
+        keep_cls[dst_cls[keep_cls[src_cls]]] = True
+        if (prev == keep_cls).all():
+            break
+    rep = np.full(len(sig_to_cls), -1, np.int64)
+    for s in range(lat.num_states - 1, -1, -1):
+        rep[cls[s]] = s                           # earliest state wins
+    new_id = np.cumsum(keep_cls) - 1
+    keep_state = np.zeros(lat.num_states, bool)
+    keep_state[rep[keep_cls]] = True
+    arc_keep = keep_state[lat.arc_src]
+    kept = np.nonzero(keep_cls)[0]
+    return Lattice(
+        num_states=int(keep_cls.sum()),
+        start=int(new_id[cls[lat.start]]),
+        state_time=lat.state_time[rep[kept]],
+        arc_src=new_id[cls[lat.arc_src[arc_keep]]].astype(np.int32),
+        arc_dst=new_id[cls[lat.arc_dst[arc_keep]]].astype(np.int32),
+        arc_ilabel=lat.arc_ilabel[arc_keep],
+        arc_olabel=lat.arc_olabel[arc_keep],
+        arc_graph=lat.arc_graph[arc_keep],
+        arc_acoustic=lat.arc_acoustic[arc_keep],
+        final_graph=lat.final_graph[rep[kept]])
+
+
+def lm_rescore(lat: Lattice, lm, scale: float = 1.0) -> Lattice:
+    """Compose the lattice with an n-gram LM over word labels,
+    adding ``scale * -log p(word | history)`` to the graph cost of each
+    word arc and ``scale * -log p(</s> | history)`` at finals
+    (ref: lattice-lmrescore-const-arpa.cc; run once with the old LM at
+    scale=-1 and once with the new LM at scale=+1 to swap LMs, exactly
+    the reference's lattice-lmrescore flow).  ``lm`` is a
+    :class:`~kaldi_cnn_tpu.lang.const_arpa.ConstArpaLm` over the same
+    word ids as the lattice olabels.  States are expanded to
+    (state, LM history) pairs, so higher-order LMs split lattice states
+    as needed."""
+    from collections import deque
+    out_order = np.argsort(lat.arc_src, kind="stable")
+    starts = np.searchsorted(lat.arc_src[out_order],
+                             np.arange(lat.num_states))
+    ends = np.searchsorted(lat.arc_src[out_order],
+                           np.arange(lat.num_states) + 1)
+    init_hist = lm.advance((), lm.bos_id)
+    state_of: Dict[Tuple[int, Tuple[int, ...]], int] = {}
+    times: List[int] = []
+    a_src, a_dst, a_il, a_ol = [], [], [], []
+    a_g, a_ac = [], []
+    finals: Dict[int, float] = {}
+
+    def get_state(s: int, h: Tuple[int, ...]) -> int:
+        key = (s, h)
+        i = state_of.get(key)
+        if i is None:
+            i = len(state_of)
+            state_of[key] = i
+            times.append(int(lat.state_time[s]))
+        return i
+
+    start_id = get_state(lat.start, init_hist)
+    queue = deque([(lat.start, init_hist)])
+    seen = {(lat.start, init_hist)}
+    while queue:
+        s, h = queue.popleft()
+        sid = state_of[(s, h)]
+        if np.isfinite(lat.final_graph[s]):
+            lp = lm.log_prob(list(h), lm.eos_id)
+            add = scale * -(lp if np.isfinite(lp) else -100.0)
+            finals[sid] = float(lat.final_graph[s]) + add
+        for k in range(starts[s], ends[s]):
+            a = out_order[k]
+            word = int(lat.arc_olabel[a])
+            if word > 0:
+                lp = lm.log_prob(list(h), word)
+                add = scale * -(lp if np.isfinite(lp) else -100.0)
+                nh = lm.advance(h, word)
+            else:
+                add = 0.0
+                nh = h
+            d = int(lat.arc_dst[a])
+            did = get_state(d, nh)
+            a_src.append(sid)
+            a_dst.append(did)
+            a_il.append(int(lat.arc_ilabel[a]))
+            a_ol.append(word)
+            a_g.append(float(lat.arc_graph[a]) + add)
+            a_ac.append(float(lat.arc_acoustic[a]))
+            if (d, nh) not in seen:
+                seen.add((d, nh))
+                queue.append((d, nh))
+    n = len(state_of)
+    fg = np.full(n, np.inf, np.float32)
+    for s, v in finals.items():
+        fg[s] = v
+    return Lattice(
+        num_states=n, start=start_id,
+        state_time=np.asarray(times, np.int32),
+        arc_src=np.asarray(a_src, np.int32),
+        arc_dst=np.asarray(a_dst, np.int32),
+        arc_ilabel=np.asarray(a_il, np.int32),
+        arc_olabel=np.asarray(a_ol, np.int32),
+        arc_graph=np.asarray(a_g, np.float32),
+        arc_acoustic=np.asarray(a_ac, np.float32),
+        final_graph=fg)
+
+
 def word_alignment(lat: Lattice, tids: np.ndarray, words: np.ndarray,
                    trans_model) -> List[Tuple[int, int, int]]:
     """(word, start_frame, num_frames) for a best path
