@@ -132,9 +132,319 @@ def cmd_compute_wer(argv: List[str]) -> int:
     return 0
 
 
+# --------------------------------------------------------------------------
+# lattice verbs (ref: src/latbin/*.cc; archives are the npz form of
+# decode/lattice.py save_lattices)
+# --------------------------------------------------------------------------
+
+def _lat_scales(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.add_argument("--word-ins-penalty", type=float, default=0.0)
+
+
+def _load_word_table(path):
+    from kaldi_cnn_tpu.lang.symbols import SymbolTable
+    if path is None:
+        return None
+    return SymbolTable.read(path)
+
+
+def _words_str(words, table) -> str:
+    if table is None:
+        return " ".join(str(int(w)) for w in words)
+    return " ".join(table.sym(int(w)) for w in words)
+
+
+def cmd_lattice_best_path(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.decode.lattice import load_lattices, shortest_path
+    p = argparse.ArgumentParser(prog="lattice-best-path")
+    _lat_scales(p)
+    p.add_argument("--word-table", default=None)
+    p.add_argument("lat_npz")
+    args = p.parse_args(argv)
+    table = _load_word_table(args.word_table)
+    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
+        _, words, cost = shortest_path(
+            lat, args.lm_scale, args.acoustic_scale,
+            args.word_ins_penalty)
+        print(f"{utt} {_words_str(words, table)}")
+        print(f"{utt} cost={cost:.4f}", file=sys.stderr)
+    return 0
+
+
+def cmd_lattice_mbr(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.decode.lattice import load_lattices, mbr_decode
+    p = argparse.ArgumentParser(prog="lattice-mbr-decode")
+    _lat_scales(p)
+    p.add_argument("--word-table", default=None)
+    p.add_argument("lat_npz")
+    args = p.parse_args(argv)
+    table = _load_word_table(args.word_table)
+    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
+        words = mbr_decode(lat, args.lm_scale, args.acoustic_scale)
+        print(f"{utt} {_words_str(words, table)}")
+    return 0
+
+
+def cmd_lattice_nbest(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.decode.lattice import load_lattices, nbest
+    p = argparse.ArgumentParser(prog="lattice-nbest")
+    _lat_scales(p)
+    p.add_argument("--n", type=int, default=10)
+    p.add_argument("--word-table", default=None)
+    p.add_argument("lat_npz")
+    args = p.parse_args(argv)
+    table = _load_word_table(args.word_table)
+    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
+        for i, (words, cost) in enumerate(nbest(
+                lat, args.n, args.lm_scale, args.acoustic_scale,
+                args.word_ins_penalty), 1):
+            print(f"{utt}-{i} {_words_str(words, table)}")
+    return 0
+
+
+def cmd_lattice_unary(argv: List[str], verb: str) -> int:
+    """prune/push/minimize/determinize/scale: npz in -> npz out."""
+    from kaldi_cnn_tpu.decode import lattice as L
+    p = argparse.ArgumentParser(prog=verb)
+    _lat_scales(p)
+    if verb == "lattice-prune":
+        p.add_argument("--beam", type=float, default=8.0)
+    if verb == "lattice-determinize":
+        p.add_argument("--max-paths", type=int, default=200)
+    p.add_argument("lat_in")
+    p.add_argument("lat_out")
+    args = p.parse_args(argv)
+    out = {}
+    for utt, lat in L.load_lattices(args.lat_in).items():
+        if verb == "lattice-prune":
+            out[utt] = L.prune_lattice(lat, args.beam, args.lm_scale,
+                                       args.acoustic_scale)
+        elif verb == "lattice-push":
+            out[utt] = L.push_lattice(lat)
+        elif verb == "lattice-minimize":
+            out[utt] = L.minimize_lattice(lat)
+        elif verb == "lattice-determinize":
+            out[utt] = L.determinize_lattice(
+                lat, args.lm_scale, args.acoustic_scale,
+                max_paths=args.max_paths)
+        else:  # lattice-scale (ref: latbin/lattice-scale.cc)
+            lat.arc_graph = (args.lm_scale * lat.arc_graph).astype(
+                np.float32)
+            lat.arc_acoustic = (args.acoustic_scale
+                                * lat.arc_acoustic).astype(np.float32)
+            lat.final_graph = np.where(
+                np.isfinite(lat.final_graph),
+                args.lm_scale * lat.final_graph,
+                np.inf).astype(np.float32)
+            out[utt] = lat
+    L.save_lattices(args.lat_out, out)
+    print(f"{verb}: {len(out)} lattices", file=sys.stderr)
+    return 0
+
+
+def cmd_lattice_lmrescore(argv: List[str]) -> int:
+    """(ref: latbin/lattice-lmrescore-const-arpa.cc; use --scale=-1
+    with the old LM first to swap LMs)."""
+    from kaldi_cnn_tpu.decode.lattice import (
+        lm_rescore, load_lattices, save_lattices)
+    from kaldi_cnn_tpu.lang.arpa import parse_arpa
+    from kaldi_cnn_tpu.lang.const_arpa import ConstArpaLm
+    p = argparse.ArgumentParser(prog="lattice-lmrescore")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--word-table", default=None,
+                   help="words.txt mapping LM words to lattice ids")
+    p.add_argument("arpa_or_npz", help=".arpa text or const-arpa .npz")
+    p.add_argument("lat_in")
+    p.add_argument("lat_out")
+    args = p.parse_args(argv)
+    if args.arpa_or_npz.endswith(".npz"):
+        lm = ConstArpaLm.load(args.arpa_or_npz)
+    else:
+        table = _load_word_table(args.word_table)
+        vocab = dict(table._sym2id) if table is not None else None
+        lm = ConstArpaLm.from_arpa(
+            parse_arpa(open(args.arpa_or_npz).read()), vocab)
+    out = {utt: lm_rescore(lat, lm, args.scale)
+           for utt, lat in load_lattices(args.lat_in).items()}
+    save_lattices(args.lat_out, out)
+    print(f"rescored {len(out)} lattices", file=sys.stderr)
+    return 0
+
+
+def cmd_lattice_to_post(argv: List[str]) -> int:
+    """Per-frame transition-id posteriors in Kaldi text posterior
+    format ``utt [ tid w .. ] [ .. ]`` (ref: latbin/lattice-to-post.cc)."""
+    from kaldi_cnn_tpu.decode.lattice import arc_posteriors, load_lattices
+    p = argparse.ArgumentParser(prog="lattice-to-post")
+    _lat_scales(p)
+    p.add_argument("lat_npz")
+    args = p.parse_args(argv)
+    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
+        post = arc_posteriors(lat, args.lm_scale, args.acoustic_scale)
+        frames: Dict[int, Dict[int, float]] = {}
+        for a in range(lat.num_arcs):
+            tid = int(lat.arc_ilabel[a])
+            if tid <= 0:
+                continue
+            t = int(lat.state_time[lat.arc_src[a]])
+            frames.setdefault(t, {})
+            frames[t][tid] = frames[t].get(tid, 0.0) + float(post[a])
+        chunks = []
+        for t in range(max(frames) + 1 if frames else 0):
+            items = frames.get(t, {})
+            body = " ".join(f"{tid} {w:.6g}"
+                            for tid, w in sorted(items.items()))
+            chunks.append(f"[ {body} ]")
+        print(f"{utt} {' '.join(chunks)}")
+    return 0
+
+
+def cmd_lattice_copy(argv: List[str]) -> int:
+    """npz -> Kaldi text-lattice dump (ref: lattice-copy --write-compact
+    text mode)."""
+    from kaldi_cnn_tpu.decode.lattice import load_lattices, \
+        write_lattice_text
+    p = argparse.ArgumentParser(prog="lattice-copy")
+    p.add_argument("lat_npz")
+    args = p.parse_args(argv)
+    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
+        print(utt)
+        write_lattice_text(lat, sys.stdout)
+        print()
+    return 0
+
+
+# --------------------------------------------------------------------------
+# model verbs (ref: src/nnet2bin/, src/gmmbin/)
+# --------------------------------------------------------------------------
+
+def cmd_nnet_am_info(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet
+    p = argparse.ArgumentParser(prog="nnet-am-info")
+    p.add_argument("mdl")
+    args = p.parse_args(argv)
+    tm, nnet, params, priors = read_am_nnet(args.mdl)
+    n_params = sum(int(np.prod(np.shape(v)))
+                   for pr in params for v in (pr or {}).values())
+    print(f"num-components {len(nnet.components)}")
+    print(f"num-pdfs {tm.num_pdfs}")
+    print(f"input-dim {nnet.input_dim}")
+    print(f"output-dim {nnet.output_dim}")
+    print(f"parameter-count {n_params}")
+    for i, (c, pr) in enumerate(zip(nnet.components, params)):
+        dims = ""
+        if hasattr(c, "input_dim"):
+            dims = f" input-dim={c.input_dim}"
+        if hasattr(c, "output_dim"):
+            dims += f" output-dim={c.output_dim}"
+        elif hasattr(c, "dim"):
+            dims += f" dim={c.dim}"
+        print(f"component {i} : {type(c).__name__}{dims}")
+    return 0
+
+
+def cmd_nnet_am_copy(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet, write_am_nnet
+    p = argparse.ArgumentParser(prog="nnet-am-copy")
+    p.add_argument("--learning-rate-scale", type=float, default=1.0,
+                   help="kept for flag parity; learning rates live in "
+                        "the trainer here")
+    p.add_argument("mdl_in")
+    p.add_argument("mdl_out")
+    args = p.parse_args(argv)
+    tm, nnet, params, priors = read_am_nnet(args.mdl_in)
+    write_am_nnet(args.mdl_out, tm, nnet, params, priors)
+    return 0
+
+
+def cmd_nnet_am_average(argv: List[str]) -> int:
+    """Parameter averaging across models — the reference's data-parallel
+    'allreduce' (ref: nnet2bin/nnet-am-average.cc)."""
+    from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet, write_am_nnet
+    p = argparse.ArgumentParser(prog="nnet-am-average")
+    p.add_argument("mdl_in", nargs="+")
+    p.add_argument("mdl_out")
+    args = p.parse_args(argv)
+    tm, nnet, params, priors = read_am_nnet(args.mdl_in[0])
+    acc = [dict((k, v.astype(np.float64)) for k, v in (pr or {}).items())
+           for pr in params]
+    for path in args.mdl_in[1:]:
+        _, _, other, _ = read_am_nnet(path)
+        for a, o in zip(acc, other):
+            for k in a:
+                a[k] = a[k] + o[k]
+    n = len(args.mdl_in)
+    avg = tuple({k: (v / n).astype(np.float32) for k, v in a.items()}
+                for a in acc)
+    write_am_nnet(args.mdl_out, tm, nnet, avg, priors)
+    print(f"averaged {n} models", file=sys.stderr)
+    return 0
+
+
+def cmd_gmm_info(argv: List[str]) -> int:
+    from kaldi_cnn_tpu.io.kaldi_model import read_gmm_model
+    p = argparse.ArgumentParser(prog="gmm-info")
+    p.add_argument("mdl")
+    args = p.parse_args(argv)
+    tm, am = read_gmm_model(args.mdl)
+    print(f"number of phones {len(tm.topo.phones)}")
+    print(f"number of pdfs {tm.num_pdfs}")
+    print(f"number of transition-ids {tm.num_transition_ids}")
+    print(f"number of transition-states {tm.num_transition_states}")
+    print(f"feature dimension {am.dim}")
+    print(f"number of gaussians {sum(g.num_gauss for g in am.gmms)}")
+    return 0
+
+
+def cmd_ali_to_pdf(argv: List[str]) -> int:
+    """transition-id alignments -> pdf-id alignments
+    (ref: bin/ali-to-pdf.cc)."""
+    from kaldi_cnn_tpu.io.kaldi_io import ArkWriter, read_vec_int_ark
+    from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet, read_gmm_model
+    p = argparse.ArgumentParser(prog="ali-to-pdf")
+    p.add_argument("mdl")
+    p.add_argument("ali_ark")
+    p.add_argument("out_ark")
+    args = p.parse_args(argv)
+    try:
+        tm, _ = read_gmm_model(args.mdl)
+    except ValueError:
+        tm = read_am_nnet(args.mdl)[0]
+    id2pdf = tm.trans_id_to_pdf_array()
+    n = 0
+    with ArkWriter(args.out_ark) as w:
+        for utt, ali in read_vec_int_ark(args.ali_ark):
+            w.write(utt, id2pdf[np.asarray(ali)].astype(np.int32))
+            n += 1
+    print(f"converted {n} alignments", file=sys.stderr)
+    return 0
+
+
+def cmd_arpa2fst(argv: List[str]) -> int:
+    """ARPA -> G.fst in OpenFst text format (ref: bin/arpa2fst.cc +
+    fstprint)."""
+    from kaldi_cnn_tpu.lang.arpa import arpa_to_fst, parse_arpa
+    from kaldi_cnn_tpu.lang.symbols import SymbolTable
+    p = argparse.ArgumentParser(prog="arpa2fst")
+    p.add_argument("arpa")
+    p.add_argument("words_txt")
+    p.add_argument("out_fst_txt")
+    args = p.parse_args(argv)
+    table = _load_word_table(args.words_txt) or SymbolTable()
+    g = arpa_to_fst(parse_arpa(open(args.arpa).read()), table)
+    with open(args.out_fst_txt, "w") as fh:
+        g.write_text(fh)
+    print(f"G: {g.num_states} states, {g.num_arcs} arcs",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_run_recipe(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="run-recipe")
-    p.add_argument("recipe", choices=["yesno", "rm", "wsj"])
+    p.add_argument("recipe", choices=["yesno", "rm", "wsj", "swbd",
+                                      "librispeech"])
     p.add_argument("--pallas", action="store_true")
     args = p.parse_args(argv)
     import importlib
@@ -158,6 +468,24 @@ VERBS = {
     "copy-feats": lambda a: cmd_transform(a, "copy-feats"),
     "compute-wer": cmd_compute_wer,
     "run-recipe": cmd_run_recipe,
+    "lattice-best-path": cmd_lattice_best_path,
+    "lattice-mbr-decode": cmd_lattice_mbr,
+    "lattice-nbest": cmd_lattice_nbest,
+    "lattice-prune": lambda a: cmd_lattice_unary(a, "lattice-prune"),
+    "lattice-push": lambda a: cmd_lattice_unary(a, "lattice-push"),
+    "lattice-minimize": lambda a: cmd_lattice_unary(a, "lattice-minimize"),
+    "lattice-determinize":
+        lambda a: cmd_lattice_unary(a, "lattice-determinize"),
+    "lattice-scale": lambda a: cmd_lattice_unary(a, "lattice-scale"),
+    "lattice-lmrescore": cmd_lattice_lmrescore,
+    "lattice-to-post": cmd_lattice_to_post,
+    "lattice-copy": cmd_lattice_copy,
+    "nnet-am-info": cmd_nnet_am_info,
+    "nnet-am-copy": cmd_nnet_am_copy,
+    "nnet-am-average": cmd_nnet_am_average,
+    "gmm-info": cmd_gmm_info,
+    "ali-to-pdf": cmd_ali_to_pdf,
+    "arpa2fst": cmd_arpa2fst,
 }
 
 

@@ -87,6 +87,53 @@ class Fst:
                                       if attr == "ilabel" else a.ilabel))
         return self
 
+    # -- text serialization (OpenFst att-format; ref: fstprint/fstcompile
+    # convention used throughout the reference's graph recipes) ------------
+    def write_text(self, fh) -> None:
+        """``src dst ilabel olabel weight`` arc lines (start state's arcs
+        first, as fstcompile expects) and ``state weight`` final lines."""
+        order = [self.start] + [s for s in range(self.num_states)
+                                if s != self.start]
+        for s in order:
+            for a in self.arcs[s]:
+                fh.write(f"{s} {a.nextstate} {a.ilabel} {a.olabel} "
+                         f"{a.weight:.9g}\n")
+        for s in order:
+            if self.is_final(s):
+                fh.write(f"{s} {self.final[s]:.9g}\n")
+
+    @staticmethod
+    def read_text(fh) -> "Fst":
+        f = Fst()
+
+        def ensure(s: int) -> int:
+            while f.num_states <= s:
+                f.add_state()
+            return s
+
+        first = True
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) >= 4:
+                s, d, il, ol = (int(x) for x in parts[:4])
+                w = float(parts[4]) if len(parts) > 4 else 0.0
+                ensure(max(s, d))
+                f.add_arc(s, il, ol, w, d)
+                if first:
+                    f.start = s
+                    first = False
+            else:
+                s = int(parts[0])
+                w = float(parts[1]) if len(parts) > 1 else 0.0
+                ensure(s)
+                f.set_final(s, w)
+                if first:
+                    f.start = s
+                    first = False
+        return f
+
     # -- simple constructors ----------------------------------------------
     @staticmethod
     def linear(labels: Sequence[int], olabels: Optional[Sequence[int]] = None,
