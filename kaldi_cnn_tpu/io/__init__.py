@@ -13,3 +13,6 @@ from kaldi_cnn_tpu.io.kaldi_io import (
     read_ark, write_ark, read_scp, ArkWriter,
     read_vec_int_ark, read_mat_ark,
 )
+from kaldi_cnn_tpu.io.native_io import (
+    RandomAccessArkReader, SequentialArkReader,
+)

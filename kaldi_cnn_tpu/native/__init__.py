@@ -9,6 +9,9 @@ with transparent numpy fallbacks when no toolchain is available.
 Current components:
   viterbi.cc  — host token-passing core (ref: faster-decoder.cc),
                 used by decode.decoder for alignment/decoding.
+  tableio.cc  — ark archive scanner (ref: util/kaldi-table-inl.h
+                readers), used by io.native_io for mmap-backed
+                sequential/random-access Table readers.
 """
 
 from __future__ import annotations
@@ -38,13 +41,16 @@ def load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("KALDI_CNN_TPU_NATIVE", "1") == "0":
         return None
-    src = os.path.join(os.path.dirname(__file__), "viterbi.cc")
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, f) for f in sorted(os.listdir(here))
+            if f.endswith(".cc")]
     out = os.path.join(_build_dir(), "libkctnative.so")
     try:
         if (not os.path.exists(out)
-                or os.path.getmtime(out) < os.path.getmtime(src)):
+                or any(os.path.getmtime(out) < os.path.getmtime(s)
+                       for s in srcs)):
             cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                   "-o", out, src]
+                   "-o", out] + srcs
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)
         lib = ctypes.CDLL(out)
@@ -66,6 +72,15 @@ def load() -> Optional[ctypes.CDLL]:
         i32, i32, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float),
     ]
+    u8 = ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64 = ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.kct_ark_index.restype = ctypes.c_int64
+    lib.kct_ark_index.argtypes = [
+        u8, ctypes.c_int64, ctypes.c_int64,
+        i64, i32, i64, i32, i32, i32,
+    ]
+    lib.kct_ark_read_ivec.restype = ctypes.c_int32
+    lib.kct_ark_read_ivec.argtypes = [u8, ctypes.c_int32, i32]
     _LIB = lib
     return _LIB
 

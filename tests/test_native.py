@@ -72,3 +72,42 @@ def test_native_align_matches(setup):
     # alignments must match exactly (unique best path in practice)
     assert list(rn[0]) == list(rp[0])
     assert rn[2] == pytest.approx(rp[2], abs=1e-2)
+
+
+def test_native_ark_index_matches_python(tmp_path, rng):
+    from kaldi_cnn_tpu.io.kaldi_io import read_ark, write_ark
+    from kaldi_cnn_tpu.io.native_io import (
+        ArkIndex, RandomAccessArkReader, SequentialArkReader)
+    data = {
+        "utt_a": rng.normal(size=(17, 13)).astype(np.float32),
+        "utt_b": rng.normal(size=(5, 4)).astype(np.float64),
+        "utt_c": rng.normal(size=23).astype(np.float32),
+        "utt_d": np.asarray([3, 1, 4, 1, 5, 9], np.int32),
+    }
+    path = str(tmp_path / "mixed.ark")
+    write_ark(path, data)
+    seq = dict(SequentialArkReader(path))
+    assert list(seq) == list(data)
+    for k, v in data.items():
+        np.testing.assert_array_equal(seq[k], v)
+    ra = RandomAccessArkReader(path)
+    assert "utt_b" in ra and "nope" not in ra
+    np.testing.assert_array_equal(ra["utt_d"], data["utt_d"])
+    np.testing.assert_array_equal(ra["utt_a"], data["utt_a"])
+    # python reader agrees entry by entry
+    for (k1, v1), (k2, v2) in zip(read_ark(path), seq.items()):
+        assert k1 == k2
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_native_ark_index_large_count(tmp_path, rng):
+    """More entries than the initial index capacity (1024)."""
+    from kaldi_cnn_tpu.io.kaldi_io import write_ark
+    from kaldi_cnn_tpu.io.native_io import SequentialArkReader
+    data = {f"u{i:05d}": rng.normal(size=(2, 3)).astype(np.float32)
+            for i in range(1500)}
+    path = str(tmp_path / "big.ark")
+    write_ark(path, data)
+    seq = dict(SequentialArkReader(path))
+    assert len(seq) == 1500
+    np.testing.assert_array_equal(seq["u01499"], data["u01499"])
