@@ -132,6 +132,71 @@ def cmd_compute_wer(argv: List[str]) -> int:
     return 0
 
 
+def cmd_compute_cmvn_stats(argv: List[str]) -> int:
+    """Per-utterance or per-speaker CMVN stats ark
+    (ref: featbin/compute-cmvn-stats.cc with --spk2utt)."""
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.io.kaldi_io import ArkWriter, read_mat_ark
+    p = argparse.ArgumentParser(prog="compute-cmvn-stats")
+    p.add_argument("--spk2utt", default=None,
+                   help="text file '<spk> <utt1> <utt2> ...' -> "
+                        "per-speaker stats")
+    p.add_argument("in_ark")
+    p.add_argument("out_ark")
+    args = p.parse_args(argv)
+    feats = dict(read_mat_ark(args.in_ark))
+    with ArkWriter(args.out_ark) as w:
+        if args.spk2utt:
+            n = 0
+            for line in open(args.spk2utt):
+                parts = line.split()
+                if not parts:
+                    continue
+                spk, utts = parts[0], parts[1:]
+                stats = sum(F.cmvn_stats(feats[u]) for u in utts
+                            if u in feats)
+                w.write(spk, stats.astype(np.float64))
+                n += 1
+            print(f"wrote stats for {n} speakers", file=sys.stderr)
+        else:
+            for utt, mat in feats.items():
+                w.write(utt, F.cmvn_stats(mat).astype(np.float64))
+            print(f"wrote stats for {len(feats)} utterances",
+                  file=sys.stderr)
+    return 0
+
+
+def cmd_apply_cmvn_stats(argv: List[str]) -> int:
+    """Apply precomputed CMVN stats (ref: featbin/apply-cmvn.cc with
+    --utt2spk; the stats-less per-utt mode is the apply-cmvn verb)."""
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.io.kaldi_io import ArkWriter, read_ark, read_mat_ark
+    p = argparse.ArgumentParser(prog="apply-cmvn-stats")
+    p.add_argument("--utt2spk", default=None,
+                   help="text file '<utt> <spk>' mapping to stats keys")
+    p.add_argument("--norm-vars", action="store_true")
+    p.add_argument("cmvn_ark")
+    p.add_argument("in_ark")
+    p.add_argument("out_ark")
+    args = p.parse_args(argv)
+    stats = dict(read_ark(args.cmvn_ark))
+    utt2spk = {}
+    if args.utt2spk:
+        for line in open(args.utt2spk):
+            parts = line.split()
+            if len(parts) >= 2:
+                utt2spk[parts[0]] = parts[1]
+    n = 0
+    with ArkWriter(args.out_ark) as w:
+        for utt, mat in read_mat_ark(args.in_ark):
+            key = utt2spk.get(utt, utt)
+            out = F.apply_cmvn_stats(mat, stats[key], args.norm_vars)
+            w.write(utt, np.asarray(out, np.float32))
+            n += 1
+    print(f"applied cmvn to {n} utterances", file=sys.stderr)
+    return 0
+
+
 # --------------------------------------------------------------------------
 # lattice verbs (ref: src/latbin/*.cc; archives are the npz form of
 # decode/lattice.py save_lattices)
@@ -468,6 +533,8 @@ VERBS = {
     "copy-feats": lambda a: cmd_transform(a, "copy-feats"),
     "compute-wer": cmd_compute_wer,
     "run-recipe": cmd_run_recipe,
+    "compute-cmvn-stats": cmd_compute_cmvn_stats,
+    "apply-cmvn-stats": cmd_apply_cmvn_stats,
     "lattice-best-path": cmd_lattice_best_path,
     "lattice-mbr-decode": cmd_lattice_mbr,
     "lattice-nbest": cmd_lattice_nbest,

@@ -186,3 +186,29 @@ def test_arpa2fst_verb(tmp_path, capsys):
     assert cli.main(["arpa2fst", str(arpa), str(words), out]) == 0
     g = Fst.read_text(open(out))
     assert g.num_states >= 1 and g.num_arcs >= 2
+
+
+def test_cmvn_stats_verbs(tmp_path, rng):
+    from kaldi_cnn_tpu.io.kaldi_io import write_ark
+    feats = {"u1": rng.normal(1.5, 2.0, size=(30, 4)).astype(np.float32),
+             "u2": rng.normal(-1.0, 0.5, size=(20, 4)).astype(np.float32)}
+    in_ark = str(tmp_path / "f.ark")
+    write_ark(in_ark, feats)
+    spk2utt = tmp_path / "spk2utt"
+    spk2utt.write_text("spkA u1 u2\n")
+    utt2spk = tmp_path / "utt2spk"
+    utt2spk.write_text("u1 spkA\nu2 spkA\n")
+    cmvn_ark = str(tmp_path / "cmvn.ark")
+    assert cli.main(["compute-cmvn-stats", "--spk2utt", str(spk2utt),
+                     in_ark, cmvn_ark]) == 0
+    out_ark = str(tmp_path / "norm.ark")
+    assert cli.main(["apply-cmvn-stats", "--utt2spk", str(utt2spk),
+                     "--norm-vars", cmvn_ark, in_ark, out_ark]) == 0
+    normed = dict(read_mat_ark(out_ark))
+    # pooled over the speaker, the normalized stream is ~N(0, 1)
+    pooled = np.concatenate([normed["u1"], normed["u2"]])
+    assert np.abs(pooled.mean(axis=0)).max() < 1e-4
+    assert np.abs(pooled.std(axis=0) - 1.0).max() < 1e-3
+    # per-speaker stats shift both utts by the SAME mean: per-utt means
+    # differ from zero
+    assert np.abs(normed["u1"].mean(axis=0)).max() > 0.1
