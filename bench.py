@@ -24,7 +24,9 @@ import numpy as np
 
 # Single-pass bf16 MXU matmuls: verified to converge identically to the
 # f32 default on the p-norm/CNN training tasks (held-out logprob match
-# to 4 decimals) while ~8x faster; the MXU is a bf16 systolic array.
+# to 4 decimals); the MXU is a bf16 systolic array, f32 matmuls cost
+# 3 passes (measured full-step 48 ms f32 vs 38 ms bf16 at mb 4096
+# pre-optimization).
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 
 from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
@@ -47,13 +49,19 @@ def main() -> None:
     labels = jnp.asarray(rng.integers(0, net.output_dim, MINIBATCH),
                          jnp.int32)
     lr = 0.01
+    # Sync via device_get, NOT jax.block_until_ready: on the axon
+    # tunnel plugin block_until_ready returns before execution finishes
+    # (measured: 50 chained steps "complete" in 15 ms of dispatch but
+    # device_get of the same value takes the true 1.7 s), which would
+    # inflate throughput ~50x.  device_get(objf) forces the whole
+    # dependency chain.
     for _ in range(WARMUP):
         params, opt, objf = net.train_step(params, opt, x, labels, lr)
-    jax.block_until_ready(objf)
+    jax.device_get(objf)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         params, opt, objf = net.train_step(params, opt, x, labels, lr)
-    jax.block_until_ready(objf)
+    jax.device_get(objf)
     dt = time.perf_counter() - t0
     frames_per_s = STEPS * MINIBATCH / dt
     audio_ss = frames_per_s / FRAMES_PER_SECOND

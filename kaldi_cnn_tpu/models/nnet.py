@@ -158,24 +158,71 @@ class Nnet:
             self._train_step_cache[shape_key] = jax.jit(
                 self._discriminative_step_impl)
         return self._train_step_cache[shape_key](
-            params, opt, x, jnp.asarray(num_post), jnp.asarray(den_post),
-            jnp.asarray(lr, jnp.float32), key)
+            params, opt, x, num_post, den_post, np.float32(lr), key)
+
+    def _train_step_impl_unweighted(self, params, opt, x, labels, lr, key):
+        w = jnp.ones((x.shape[0],), jnp.float32)
+        return self._train_step_impl(params, opt, x, labels, w, lr, key)
 
     def train_step(self, params, opt, x, labels, lr, key=None,
                    weights=None):
         """jit-cached minibatch update.  x [N, D] f32, labels [N] i32.
-        Returns (params', opt', objf per frame)."""
-        n = x.shape[0]
-        if weights is None:
-            weights = jnp.ones((n,), jnp.float32)
+        Returns (params', opt', objf per frame).
+
+        Scalars/constants cross into the jit as host values — any eager
+        device op in this wrapper (a jnp.ones, a jnp.asarray) costs a
+        full dispatch round-trip per STEP on the tunneled TPU and was
+        measured to dominate the step time (4.5x at minibatch 4096)."""
         if key is None:
             key = np.zeros(2, np.uint32)
+        if weights is None:
+            shape_key = ("nw", x.shape, x.dtype)
+            if shape_key not in self._train_step_cache:
+                self._train_step_cache[shape_key] = jax.jit(
+                    self._train_step_impl_unweighted)
+            return self._train_step_cache[shape_key](
+                params, opt, x, labels, np.float32(lr), key)
         shape_key = (x.shape, x.dtype)
         if shape_key not in self._train_step_cache:
             self._train_step_cache[shape_key] = jax.jit(self._train_step_impl)
         return self._train_step_cache[shape_key](
-            params, opt, x, labels, weights, jnp.asarray(lr, jnp.float32),
-            key)
+            params, opt, x, labels, weights, np.float32(lr), key)
+
+    def _train_scan_impl(self, params, opt, xs, labels, weights, lr, keys):
+        """K sequential SGD steps under ONE jit via lax.scan — the math
+        is bit-identical to K train_step calls, but the host dispatches
+        once per K steps instead of once per step (each dispatch over
+        the tunneled TPU costs ~0.2 ms, which dominates small-model
+        steps; keeping the loop inside XLA is the TPU-idiomatic train
+        loop — SURVEY.md §7 design stance)."""
+        def body(carry, batch):
+            p, o = carry
+            x, y, w, k, lr_t = batch
+            p, o, objf = self._train_step_impl(p, o, x, y, w, lr_t, k)
+            return (p, o), objf
+
+        (p, o), objfs = jax.lax.scan(
+            body, (params, opt), (xs, labels, weights, keys, lr))
+        return p, o, objfs
+
+    def train_steps(self, params, opt, xs, labels, lr, keys=None,
+                    weights=None):
+        """Scanned multi-step update.  xs [K, N, D] f32, labels [K, N]
+        i32, lr scalar or [K], optional weights [K, N], keys [K, 2]
+        uint32.  Returns (params', opt', objf per step [K])."""
+        k_steps, n = xs.shape[0], xs.shape[1]
+        if keys is None:
+            keys = np.zeros((k_steps, 2), np.uint32)
+        if weights is None:
+            weights = np.ones((k_steps, n), np.float32)
+        lrs = np.broadcast_to(np.asarray(lr, np.float32),
+                              (k_steps,)).copy()
+        shape_key = ("scan", xs.shape, xs.dtype)
+        if shape_key not in self._train_step_cache:
+            self._train_step_cache[shape_key] = jax.jit(
+                self._train_scan_impl)
+        return self._train_step_cache[shape_key](
+            params, opt, xs, labels, weights, lrs, keys)
 
     def _objf_impl(self, params, x, labels, weights):
         out, _, _ = self.forward(params, x, train=False)
@@ -183,12 +230,20 @@ class Nnet:
         picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
         return jnp.sum(jnp.log(picked) * weights) / jnp.sum(weights)
 
+    def _objf_impl_unweighted(self, params, x, labels):
+        w = jnp.ones((x.shape[0],), jnp.float32)
+        return self._objf_impl(params, x, labels, w)
+
     def objf(self, params, x, labels, weights=None):
         """Diagnostic log-prob per frame (ref: nnet-compute-prob).
         jit-cached per shape: eager evaluation on the tunneled TPU costs
-        seconds per call."""
+        seconds per call (see train_step note)."""
         if weights is None:
-            weights = jnp.ones((x.shape[0],), jnp.float32)
+            shape_key = ("objf-nw", x.shape)
+            if shape_key not in self._train_step_cache:
+                self._train_step_cache[shape_key] = jax.jit(
+                    self._objf_impl_unweighted)
+            return self._train_step_cache[shape_key](params, x, labels)
         shape_key = ("objf", x.shape)
         if shape_key not in self._train_step_cache:
             self._train_step_cache[shape_key] = jax.jit(self._objf_impl)

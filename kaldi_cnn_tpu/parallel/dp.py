@@ -38,16 +38,22 @@ def make_dp_step(net: Nnet, mesh: Mesh) -> Callable:
         in_shardings=(repl, repl, shard, shard, shard, repl, repl),
         out_shardings=(repl, repl, repl),
     )
+    # no-weights variant keeps the ones-vector INSIDE the jit: an eager
+    # jnp.ones/asarray here costs a device dispatch per step (see
+    # Nnet.train_step note)
+    jitted_nw = jax.jit(
+        net._train_step_impl_unweighted,
+        in_shardings=(repl, repl, shard, shard, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
 
     def step(params, opt, x, labels, lr, key=None, weights=None):
-        n = x.shape[0]
-        if weights is None:
-            weights = jnp.ones((n,), jnp.float32)
         if key is None:
             key = np.zeros(2, np.uint32)
-        return jitted(params, opt, jnp.asarray(x), jnp.asarray(labels),
-                      jnp.asarray(weights),
-                      jnp.asarray(lr, jnp.float32), jnp.asarray(key))
+        if weights is None:
+            return jitted_nw(params, opt, x, labels, np.float32(lr), key)
+        return jitted(params, opt, x, labels, weights, np.float32(lr),
+                      key)
 
     return step
 
@@ -79,16 +85,19 @@ def make_dp_tp_step(net: Nnet, mesh: Mesh) -> Callable:
         in_shardings=(pspecs, repl, data, data, data, repl, repl),
         out_shardings=(pspecs, repl, repl),
     )
+    jitted_nw = jax.jit(
+        net._train_step_impl_unweighted,
+        in_shardings=(pspecs, repl, data, data, repl, repl),
+        out_shardings=(pspecs, repl, repl),
+    )
 
     def step(params, opt, x, labels, lr, key=None, weights=None):
-        n = x.shape[0]
-        if weights is None:
-            weights = jnp.ones((n,), jnp.float32)
         if key is None:
             key = np.zeros(2, np.uint32)
-        return jitted(params, opt, jnp.asarray(x), jnp.asarray(labels),
-                      jnp.asarray(weights), jnp.asarray(lr, jnp.float32),
-                      jnp.asarray(key))
+        if weights is None:
+            return jitted_nw(params, opt, x, labels, np.float32(lr), key)
+        return jitted(params, opt, x, labels, weights, np.float32(lr),
+                      key)
 
     return step
 

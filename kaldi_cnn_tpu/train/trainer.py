@@ -124,17 +124,24 @@ def train_nnet(
     history: List = []
     timer = Timer()
     for epoch in range(cfg.num_epochs):
-        epoch_objf, epoch_frames = 0.0, 0
+        # objf values stay on-device until the epoch ends: a float()
+        # per step would sync host<->device every minibatch and stall
+        # the pipeline (same class of overhead as eager wrapper ops —
+        # see Nnet.train_step)
+        objfs: List = []
+        frame_counts: List[float] = []
         for x, y, w in batcher.epoch(epoch):
             lr = lr_at(cfg, it / max(total_iters - 1, 1))
             key = stage_key(cfg.seed, "train_step", it)
-            params, opt, objf = step(
-                params, opt, jnp.asarray(x), jnp.asarray(y), lr, key=key,
-                weights=jnp.asarray(w))
-            epoch_objf += float(objf) * w.sum()
-            epoch_frames += int(w.sum())
+            params, opt, objf = step(params, opt, x, y, lr, key=key,
+                                     weights=w)
+            objfs.append(objf)
+            frame_counts.append(float(w.sum()))
             it += 1
-        train_prob = epoch_objf / max(epoch_frames, 1)
+        epoch_objf = sum(float(o) * n
+                         for o, n in zip(jax.device_get(objfs),
+                                         frame_counts))
+        train_prob = epoch_objf / max(sum(frame_counts), 1)
         valid_prob = _valid_objf(net, params, egs_valid, cfg)
         elapsed = timer.elapsed()
         audio_ss = (it * cfg.minibatch_size / frames_per_second) / elapsed
