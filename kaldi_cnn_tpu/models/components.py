@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kaldi_cnn_tpu.models.ng_sgd import NGState, OnlineNaturalGradient
+from kaldi_cnn_tpu.models.ng_sgd import (NGState, OnlineNaturalGradient,
+                                         fused_ng_delta)
 
 Params = Dict[str, jnp.ndarray]
 
@@ -47,12 +48,11 @@ def _ng_affine_update(params, opt, in_value, out_deriv, lr, ng_in, ng_out,
     n = in_value.shape[0]
     ones = jnp.ones((n, 1), jnp.float32)
     in_ext = jnp.concatenate([in_value, ones], axis=1)
-    in_hat, opt_in = ng_in.precondition(opt["ng_in"], in_ext)
-    deriv_hat, opt_out = ng_out.precondition(opt["ng_out"], out_deriv)
     # no 1/N here: the objf derivative is already per-frame normalized
     # (the trainer divides by the weight sum), matching the reference
     # where objf is per-minibatch and lr absorbs scale
-    delta = deriv_hat.T @ in_hat                  # [out, in+1]
+    delta, opt_in, opt_out = fused_ng_delta(
+        ng_in, ng_out, opt["ng_in"], opt["ng_out"], in_ext, out_deriv)
     if max_change > 0:
         norm = jnp.sqrt(jnp.sum(delta * delta)) * jnp.abs(lr)
         scale = jnp.minimum(1.0, max_change / jnp.maximum(norm, 1e-20))
@@ -501,26 +501,42 @@ class Conv2DComponent:
         """[N, input_dim] -> [N, num_patches, patch_dim]."""
         return x[:, self._patch_indices()]
 
+    def _conv_nhwc(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """XLA-native convolution: [N, in_t, in_f, in_c] x HWIO kernel
+        -> [N, out_t, out_f, F].  The MXU path — the im2col gather and
+        especially its scatter-add transpose are ~5x slower on TPU than
+        letting XLA pick the conv algorithm."""
+        kernel = w.reshape(self.num_filters, self.filt_t, self.filt_f,
+                           self.in_c).transpose(1, 2, 3, 0)   # HWIO
+        return jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(self.stride_t, self.stride_f),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
     def forward(self, params, x, train=False, key=None):
         if self.use_pallas:
             from kaldi_cnn_tpu.ops.conv_pallas import conv2d_pallas
             y = conv2d_pallas(x, params["w"], params["b"], self)
             return y.reshape(x.shape[0], self.output_dim), None
-        patches = self.extract_patches(x)                  # [N, P, K]
-        y = jnp.einsum("npk,fk->npf", patches, params["w"],
-                       preferred_element_type=jnp.float32) + params["b"]
-        return y.reshape(x.shape[0], self.output_dim), None
+        n = x.shape[0]
+        xi = x.reshape(n, self.in_t, self.in_f, self.in_c)
+        y = self._conv_nhwc(xi, params["w"]) + params["b"]
+        # [N, out_t, out_f, F] row-major == patches-major, filters-minor:
+        # identical layout to the im2col path (patch p = (ot, of))
+        return y.reshape(n, self.output_dim), None
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
         n = in_value.shape[0]
-        d = out_deriv.reshape(n, self.num_patches, self.num_filters)
-        dpatches = jnp.einsum("npf,fk->npk", d, params["w"],
-                              preferred_element_type=jnp.float32)
-        # scatter-add patches back to the flat input layout
-        idx = self._patch_indices().reshape(-1)            # [P*K]
-        flat = dpatches.reshape(n, -1)
-        in_deriv = jnp.zeros((n, self.input_dim), jnp.float32)
-        return in_deriv.at[:, idx].add(flat)
+        xi = in_value.reshape(n, self.in_t, self.in_f, self.in_c)
+        d = out_deriv.reshape(n, self.out_t, self.out_f,
+                              self.num_filters)
+        # input gradient = VJP of the conv (XLA emits the transposed
+        # conv, vastly faster than the scatter-add im2col transpose)
+        _, vjp = jax.vjp(lambda v: self._conv_nhwc(v, params["w"]), xi)
+        (dx,) = vjp(d)
+        return dx.reshape(n, self.input_dim)
 
     # NG update treats each patch row as a data row, like the affine
     # layers (ref: Convolutional1dComponent::Update flattens patches)

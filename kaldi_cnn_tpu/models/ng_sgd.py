@@ -74,18 +74,49 @@ class OnlineNaturalGradient:
         den = jnp.sqrt(jnp.sum(x_hat * x_hat) + 1e-20)
         return x_hat * (num / den)
 
-    def _update(self, state: NGState, x: jnp.ndarray) -> NGState:
-        """Track the top-R eigenbasis of (1-eta) F + eta XᵀX/N."""
+    def factors(self, state: NGState) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+        """(a, c, u) such that x_hat = a*x + ((x @ uᵀ) * c) @ u — the
+        factored form of F̂⁻¹, letting callers fuse the preconditioner
+        into their gradient contraction without materializing x_hat
+        (the materialized path costs ~2 ms per side per step at
+        minibatch 4096 in HBM traffic alone)."""
+        u, d, rho = state.u, state.d, state.rho
+        dim = u.shape[1]
+        tr = jnp.sum(d) + rho * (dim - d.shape[0])
+        damp = self.alpha * tr / dim
+        a = 1.0 / (rho + damp)
+        c = 1.0 / (d + damp) - a
+        return a, c, u
+
+    def gamma(self, a: jnp.ndarray, c: jnp.ndarray, x_sq: jnp.ndarray,
+              proj_sq: jnp.ndarray) -> jnp.ndarray:
+        """Norm-preserving rescale for the factored form.  x_sq =
+        ||x||²_F; proj_sq[r] = Σ_n proj[n,r]².  Because u has
+        orthonormal rows, ||x_hat||² = a²·x_sq + Σ_r (2ac_r + c_r²)
+        proj_sq[r], so the rescale needs no pass over x_hat."""
+        den = a * a * x_sq + jnp.sum((2.0 * a * c + c * c) * proj_sq)
+        return jnp.sqrt((x_sq + 1e-20) / (den + 1e-20))
+
+    def maybe_update_from_sample(self, state: NGState, xs: jnp.ndarray,
+                                 x_energy: jnp.ndarray) -> NGState:
+        """update_period-gated state update from pre-sampled rows
+        xs [s, D] and the true mean row energy x_energy = ||X||²/N —
+        the fused-path twin of precondition()'s internal update."""
+        return jax.lax.cond(
+            state.t % self.update_period == 0,
+            lambda: self._update_from_sample(state, xs, x_energy),
+            lambda: state._replace(t=state.t + 1),
+        )
+
+    def _update_from_sample(self, state: NGState, xs: jnp.ndarray,
+                            x_energy: jnp.ndarray) -> NGState:
+        """Track the top-R eigenbasis of (1-eta) F + eta XᵀX/N, where
+        X is represented by sample rows xs scaled to the batch
+        second moment x_energy."""
         u, d, rho = state.u, state.d, state.rho
         r, dim = u.shape
-        n = x.shape[0]
-        # sample at most R rows of X (deterministic stride) to keep the
-        # eigenproblem (2R)x(2R)
-        s = min(n, r)
-        stride = max(n // s, 1)
-        xs = x[::stride][:s]
-        # scale factor so xs approximates the batch second moment
-        x_energy = jnp.sum(x * x) / n          # avg row energy * D
+        s = xs.shape[0]
         xs_energy = jnp.sum(xs * xs) / s + 1e-20
         xs = xs * jnp.sqrt(x_energy / xs_energy)
         m = jnp.concatenate([
@@ -114,6 +145,19 @@ class OnlineNaturalGradient:
         rho_new = jnp.where(ok, rho_new, rho)
         return NGState(u=u_new, d=d_new, rho=rho_new, t=state.t + 1)
 
+    def sample_rows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic-stride sample of ≤R rows (keeps the update
+        eigenproblem (2R)×(2R))."""
+        r = self.rank
+        n = x.shape[0]
+        s = min(n, r)
+        stride = max(n // s, 1)
+        return x[::stride][:s]
+
+    def _update(self, state: NGState, x: jnp.ndarray) -> NGState:
+        return self._update_from_sample(
+            state, self.sample_rows(x), jnp.sum(x * x) / x.shape[0])
+
     def precondition(self, state: NGState, x: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, NGState]:
         """Returns (preconditioned rows, updated state)."""
@@ -125,3 +169,52 @@ class OnlineNaturalGradient:
         )
         x_hat = self._precondition_given(state, x)
         return x_hat, new_state
+
+
+def fused_ng_delta(ng_in: OnlineNaturalGradient,
+                   ng_out: OnlineNaturalGradient,
+                   state_in: NGState, state_out: NGState,
+                   x: jnp.ndarray, d: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, NGState, NGState]:
+    """delta = precondition(d)ᵀ @ precondition(x) without materializing
+    either preconditioned [N, dim] matrix.
+
+    With x̂ = γᵢ(aᵢx + (xUᵢᵀ)CᵢUᵢ) and d̂ = γₒ(aₒd + (dUₒᵀ)CₒUₒ),
+    the product expands around the single large GEMM G = dᵀx:
+
+        d̂ᵀx̂ / (γᵢγₒ) = aₒaᵢ G + aₒ (GUᵢᵀCᵢ)Uᵢ
+                       + aᵢ UₒᵀCₒ(UₒG) + UₒᵀCₒ(UₒGUᵢᵀ)CᵢUᵢ
+
+    so the extra cost over a plain gradient is O(dim²·R) rank-R work on
+    G plus two thin [N, R] projections for the norm rescale — instead
+    of rewriting both [N, dim] activations through HBM (which dominated
+    the step time of the materialized path at minibatch 4096).
+    Semantics match precondition(): old-state factors, norm-preserving
+    per-side rescale, update_period-gated state update from sampled
+    rows.  Returns (delta [out, in], new_state_in, new_state_out).
+    """
+    x = x.astype(jnp.float32)
+    d = d.astype(jnp.float32)
+    a_i, c_i, u_i = ng_in.factors(state_in)
+    a_o, c_o, u_o = ng_out.factors(state_out)
+    g = d.T @ x                                    # [out, in] — THE GEMM
+    gu_i = g @ u_i.T                               # [out, Rᵢ]
+    uo_g = u_o @ g                                 # [Rₒ, in]
+    uo_g_ui = u_o @ gu_i                           # [Rₒ, Rᵢ]
+    delta = ((a_o * a_i) * g
+             + a_o * (gu_i * c_i) @ u_i
+             + a_i * u_o.T @ (c_o[:, None] * uo_g)
+             + u_o.T @ ((c_o[:, None] * uo_g_ui) * c_i) @ u_i)
+    p_in = x @ u_i.T                               # [N, Rᵢ] (thin)
+    p_out = d @ u_o.T                              # [N, Rₒ] (thin)
+    x_sq = jnp.sum(x * x)
+    d_sq = jnp.sum(d * d)
+    gamma_in = ng_in.gamma(a_i, c_i, x_sq, jnp.sum(p_in * p_in, axis=0))
+    gamma_out = ng_out.gamma(a_o, c_o, d_sq, jnp.sum(p_out * p_out, axis=0))
+    delta = delta * (gamma_in * gamma_out)
+    n = x.shape[0]
+    new_in = ng_in.maybe_update_from_sample(
+        state_in, ng_in.sample_rows(x), x_sq / n)
+    new_out = ng_out.maybe_update_from_sample(
+        state_out, ng_out.sample_rows(d), d_sq / n)
+    return delta, new_in, new_out

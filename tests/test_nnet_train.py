@@ -141,3 +141,35 @@ def test_am_nnet_loglikes_shape(rng):
     ll = am.loglikes(params, feats, batch_size=16)
     assert ll.shape == (37, 4)
     assert np.isfinite(ll).all()
+
+
+def test_fused_ng_delta_matches_materialized(rng):
+    """fused_ng_delta must equal d̂ᵀx̂ computed via the materialized
+    precondition() path (same old-state factors, same rescale, same
+    state update)."""
+    from kaldi_cnn_tpu.models.ng_sgd import fused_ng_delta
+
+    ng_in = OnlineNaturalGradient(rank=6, eta=0.2, update_period=4)
+    ng_out = OnlineNaturalGradient(rank=5, eta=0.2, update_period=4)
+    st_in = ng_in.init(24)
+    st_out = ng_out.init(12)
+    # run a few steps so the states leave the identity init and the
+    # update_period gate is exercised on both branches
+    for step in range(6):
+        x = jnp.asarray(rng.normal(size=(48, 24)), jnp.float32)
+        d = jnp.asarray(rng.normal(size=(48, 12)), jnp.float32)
+        xh, ref_in = ng_in.precondition(st_in, x)
+        dh, ref_out = ng_out.precondition(st_out, d)
+        ref_delta = dh.T @ xh
+        delta, new_in, new_out = fused_ng_delta(
+            ng_in, ng_out, st_in, st_out, x, d)
+        np.testing.assert_allclose(np.asarray(delta),
+                                   np.asarray(ref_delta),
+                                   rtol=2e-4, atol=2e-4)
+        for a, b in zip(new_in, ref_in):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        for a, b in zip(new_out, ref_out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        st_in, st_out = new_in, new_out
