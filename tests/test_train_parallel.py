@@ -132,6 +132,11 @@ def test_dp_training_improves(rng):
     for s in range(50):
         params, opt, objf = dp_step(params, opt, egs.x, egs.y, 0.1,
                                     key=np.array([0, s], np.uint32))
+        # Sync each step: with 8 virtual devices on a 2-core CI host,
+        # queueing many cross-module all-reduces ahead of execution can
+        # starve XLA:CPU's 40 s collective rendezvous (observed SIGABRT
+        # in rendezvous.cc).  One in-flight step at a time is robust.
+        jax.block_until_ready(objf)
     objf1 = float(net.objf(params, jnp.asarray(egs.x), jnp.asarray(egs.y)))
     assert objf1 > objf0 + 0.5
 
