@@ -171,6 +171,46 @@ class OnlineNaturalGradient:
         return x_hat, new_state
 
 
+def ng_delta_from_stats(ng_in: OnlineNaturalGradient,
+                        ng_out: OnlineNaturalGradient,
+                        state_in: NGState, state_out: NGState,
+                        g: jnp.ndarray,
+                        x_sq: jnp.ndarray, proj_sq_in: jnp.ndarray,
+                        d_sq: jnp.ndarray, proj_sq_out: jnp.ndarray,
+                        xs: jnp.ndarray, ds: jnp.ndarray,
+                        n_rows: float
+                        ) -> Tuple[jnp.ndarray, NGState, NGState]:
+    """Preconditioned delta from sufficient statistics of the row
+    spaces, never touching the [N, dim] activations themselves:
+
+      g           [out, in]  = dᵀx (the plain-gradient GEMM)
+      x_sq, d_sq  scalars    = ‖x‖²_F, ‖d‖²_F
+      proj_sq_in  [Rᵢ]       = Σ_n (x@u_iᵀ)²  (old-state basis)
+      proj_sq_out [Rₒ]       = Σ_n (d@u_oᵀ)²
+      xs, ds      [≤R, dim]  sampled rows for the state update
+      n_rows                 number of data rows N
+
+    This is the algebraic core of fused_ng_delta; callers that can
+    compute g and the quadratic stats cheaply (e.g. the conv layer via
+    XLA conv-backward-filter instead of an im2col materialization) call
+    it directly."""
+    a_i, c_i, u_i = ng_in.factors(state_in)
+    a_o, c_o, u_o = ng_out.factors(state_out)
+    gu_i = g @ u_i.T                               # [out, Rᵢ]
+    uo_g = u_o @ g                                 # [Rₒ, in]
+    uo_g_ui = u_o @ gu_i                           # [Rₒ, Rᵢ]
+    delta = ((a_o * a_i) * g
+             + a_o * (gu_i * c_i) @ u_i
+             + a_i * u_o.T @ (c_o[:, None] * uo_g)
+             + u_o.T @ ((c_o[:, None] * uo_g_ui) * c_i) @ u_i)
+    gamma_in = ng_in.gamma(a_i, c_i, x_sq, proj_sq_in)
+    gamma_out = ng_out.gamma(a_o, c_o, d_sq, proj_sq_out)
+    delta = delta * (gamma_in * gamma_out)
+    new_in = ng_in.maybe_update_from_sample(state_in, xs, x_sq / n_rows)
+    new_out = ng_out.maybe_update_from_sample(state_out, ds, d_sq / n_rows)
+    return delta, new_in, new_out
+
+
 def fused_ng_delta(ng_in: OnlineNaturalGradient,
                    ng_out: OnlineNaturalGradient,
                    state_in: NGState, state_out: NGState,
@@ -195,26 +235,13 @@ def fused_ng_delta(ng_in: OnlineNaturalGradient,
     """
     x = x.astype(jnp.float32)
     d = d.astype(jnp.float32)
-    a_i, c_i, u_i = ng_in.factors(state_in)
-    a_o, c_o, u_o = ng_out.factors(state_out)
     g = d.T @ x                                    # [out, in] — THE GEMM
-    gu_i = g @ u_i.T                               # [out, Rᵢ]
-    uo_g = u_o @ g                                 # [Rₒ, in]
-    uo_g_ui = u_o @ gu_i                           # [Rₒ, Rᵢ]
-    delta = ((a_o * a_i) * g
-             + a_o * (gu_i * c_i) @ u_i
-             + a_i * u_o.T @ (c_o[:, None] * uo_g)
-             + u_o.T @ ((c_o[:, None] * uo_g_ui) * c_i) @ u_i)
-    p_in = x @ u_i.T                               # [N, Rᵢ] (thin)
-    p_out = d @ u_o.T                              # [N, Rₒ] (thin)
+    p_in = x @ state_in.u.T                        # [N, Rᵢ] (thin)
+    p_out = d @ state_out.u.T                      # [N, Rₒ] (thin)
     x_sq = jnp.sum(x * x)
     d_sq = jnp.sum(d * d)
-    gamma_in = ng_in.gamma(a_i, c_i, x_sq, jnp.sum(p_in * p_in, axis=0))
-    gamma_out = ng_out.gamma(a_o, c_o, d_sq, jnp.sum(p_out * p_out, axis=0))
-    delta = delta * (gamma_in * gamma_out)
-    n = x.shape[0]
-    new_in = ng_in.maybe_update_from_sample(
-        state_in, ng_in.sample_rows(x), x_sq / n)
-    new_out = ng_out.maybe_update_from_sample(
-        state_out, ng_out.sample_rows(d), d_sq / n)
-    return delta, new_in, new_out
+    return ng_delta_from_stats(
+        ng_in, ng_out, state_in, state_out, g,
+        x_sq, jnp.sum(p_in * p_in, axis=0),
+        d_sq, jnp.sum(p_out * p_out, axis=0),
+        ng_in.sample_rows(x), ng_out.sample_rows(d), x.shape[0])
