@@ -10,3 +10,4 @@ passing on-device (SURVEY.md §7 step 8).
 from kaldi_cnn_tpu.decode.graph import CompiledGraph
 from kaldi_cnn_tpu.decode.decoder import viterbi_align, viterbi_decode
 from kaldi_cnn_tpu.decode.score import edit_distance, wer_details
+from kaldi_cnn_tpu.decode.topk_decoder import TopKGraph, TpuTopKDecoder

@@ -1,0 +1,650 @@
+"""Scalable batched TPU beam search: top-K token passing over CSR HCLG
+with on-device lattice emission.
+
+TPU-native re-design of the reference's lattice decoder
+(ref: src/decoder/lattice-faster-decoder.cc LatticeFasterDecoder::Decode,
+ProcessEmitting / ProcessNonemitting / PruneActiveTokens / GetRawLattice).
+Where the reference keeps a hash map state->Token and walks OpenFst arc
+iterators per active state, and the dense ``TpuViterbiDecoder`` relaxes
+every arc of the graph every frame (O(arcs) work and O(states) memory per
+frame — fine for small graphs, fatal for real HCLGs of 10^6-10^7 states),
+this decoder's per-frame work and working-set memory are independent of
+graph size:
+
+  tokens   = K active (state, cost) pairs, kept SORTED BY STATE so that
+             membership lookup is a binary search, not an O(S) table;
+  expand   = windowed gather of each active state's outgoing arcs from a
+             degree-bounded CSR packing (see ``bound_degree``);
+  recombine= lax.sort by (dst, cost) + dedup mask  (the hash-map insert);
+  prune    = candidate beam cutoff + lax.top_k     (beam + max-active);
+  eps      = the same expand/recombine on the eps arc table, iterated to
+             the precomputed eps-DAG depth             (ProcessNonemitting);
+  lattice  = per frame, every within-beam candidate arc between surviving
+             tokens is compacted into a fixed-size record buffer on device
+             (GetRawLattice's arc set), assembled into a ``Lattice`` on the
+             host with zero recomputation.
+
+Graph arrays live in HBM; per-frame working set is O(K * max_degree).
+Acoustic scores feed the scan directly, erasing the GPU-scores/CPU-search
+asymmetry of the reference decode pipeline (SURVEY.md §3.4).
+
+Backpointers: after the eps fixpoint, one resolution pass recomputes, for
+every surviving token, the arc that achieves its final cost (Viterbi
+optimal substructure makes fixpoint backpointers self-consistent).  The
+rare token whose eps predecessor was itself evicted by top-K pruning is
+emitted unresolved (-1) and repaired on the host by re-closing that one
+frame (``_host_fix``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_cnn_tpu.decode.graph import CompiledGraph
+from kaldi_cnn_tpu.decode.lattice import Lattice, prune_lattice
+
+BIG = np.float32(1e30)
+INVALID = np.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# Graph packing
+# ---------------------------------------------------------------------------
+
+class TopKGraph:
+    """Degree-bounded CSR packing of a CompiledGraph.
+
+    States whose out-degree exceeds the caps (LM backoff hubs etc.) are
+    split into an epsilon fan-out tree of auxiliary states so the decoder
+    can gather each state's arcs with a fixed window.  Aux states carry
+    zero-weight unlabeled eps arcs: path costs and label sequences are
+    unchanged; the eps-DAG depth grows by the tree depth.
+    """
+
+    def __init__(self, g: CompiledGraph, max_emit: int = 16,
+                 max_eps: int = 8):
+        assert max_emit >= 1 and max_eps >= 2
+        S = g.num_states
+        e_lists: List[List[int]] = [[] for _ in range(S)]
+        n_lists: List[List[int]] = [[] for _ in range(S)]
+        for i, s in enumerate(np.asarray(g.e_src)):
+            e_lists[s].append(i)
+        for i, s in enumerate(np.asarray(g.n_src)):
+            n_lists[s].append(i)
+
+        # out arrays (arc tuples reference the original tables; link arcs
+        # use index -1 markers resolved below)
+        e_src2: List[int] = []
+        e_ref: List[int] = []
+        n_src2: List[int] = []
+        n_ref: List[int] = []          # >=0: original eps arc, -1-c: link
+        link_dst: List[int] = []
+        next_state = S
+
+        # queue of (state, emit arc ids, eps arc ids)
+        queue = [(s, e_lists[s], n_lists[s]) for s in range(S)]
+        qi = 0
+        while qi < len(queue):
+            s, el, nl = queue[qi]
+            qi += 1
+            if len(el) <= max_emit and len(nl) <= max_eps:
+                e_src2.extend([s] * len(el)); e_ref.extend(el)
+                n_src2.extend([s] * len(nl)); n_ref.extend(nl)
+                continue
+            nc = max(2, max_eps // 2)          # children per split node
+            keep_n = max(0, max_eps - nc)
+            e_keep, e_rem = el[:max_emit], el[max_emit:]
+            n_keep, n_rem = nl[:keep_n], nl[keep_n:]
+            e_src2.extend([s] * len(e_keep)); e_ref.extend(e_keep)
+            n_src2.extend([s] * len(n_keep)); n_ref.extend(n_keep)
+            # overflow arcs, distributed round-robin over nc children
+            rem = [("e", a) for a in e_rem] + [("n", a) for a in n_rem]
+            chunks: List[List[Tuple[str, int]]] = [[] for _ in range(nc)]
+            for j, item in enumerate(rem):
+                chunks[j % nc].append(item)
+            for ch in chunks:
+                if not ch:
+                    continue
+                c = next_state
+                next_state += 1
+                n_src2.append(s)
+                n_ref.append(-1 - len(link_dst))
+                link_dst.append(c)
+                queue.append((c, [a for k, a in ch if k == "e"],
+                              [a for k, a in ch if k == "n"]))
+
+        self.num_states = next_state
+        self.start = g.start
+        e_ref_a = np.asarray(e_ref, np.int64)
+        e_src_a = np.asarray(e_src2, np.int64)
+        order = np.argsort(e_src_a, kind="stable")
+        e_ref_a, e_src_a = e_ref_a[order], e_src_a[order]
+        self.e_src = e_src_a.astype(np.int32)
+        self.e_dst = g.e_dst[e_ref_a]
+        self.e_pdf = g.e_pdf[e_ref_a]
+        self.e_w = g.e_weight[e_ref_a]
+        self.e_ilabel = g.e_ilabel[e_ref_a]
+        self.e_olabel = g.e_olabel[e_ref_a]
+        self.e_off = np.searchsorted(
+            e_src_a, np.arange(self.num_states + 1)).astype(np.int32)
+
+        n_ref_a = np.asarray(n_ref, np.int64)
+        n_src_a = np.asarray(n_src2, np.int64)
+        order = np.argsort(n_src_a, kind="stable")
+        n_ref_a, n_src_a = n_ref_a[order], n_src_a[order]
+        is_link = n_ref_a < 0
+        n_dst = np.zeros(len(n_ref_a), np.int32)
+        n_w = np.zeros(len(n_ref_a), np.float32)
+        n_ol = np.zeros(len(n_ref_a), np.int32)
+        if is_link.any():
+            link_dst_a = np.asarray(link_dst, np.int64)
+            n_dst[is_link] = link_dst_a[-1 - n_ref_a[is_link]]
+        if (~is_link).any():
+            orig = n_ref_a[~is_link]
+            n_dst[~is_link] = g.n_dst[orig]
+            n_w[~is_link] = g.n_weight[orig]
+            n_ol[~is_link] = g.n_olabel[orig]
+        self.n_src = n_src_a.astype(np.int32)
+        self.n_dst = n_dst
+        self.n_w = n_w
+        self.n_olabel = n_ol
+        self.n_off = np.searchsorted(
+            n_src_a, np.arange(self.num_states + 1)).astype(np.int32)
+
+        self.final = np.concatenate(
+            [g.final, np.full(self.num_states - S, np.inf, np.float32)])
+        self.max_emit_deg = int(
+            (self.e_off[1:] - self.e_off[:-1]).max()) if len(self.e_src) \
+            else 0
+        self.max_eps_deg = int(
+            (self.n_off[1:] - self.n_off[:-1]).max()) if len(self.n_src) \
+            else 0
+        self.eps_depth = self._eps_depth()
+
+    def _eps_depth(self, cap: int = 64) -> int:
+        if len(self.n_src) == 0:
+            return 0
+        depth = np.zeros(self.num_states, np.int32)
+        for _ in range(cap):
+            upd = np.zeros(self.num_states, np.int32)
+            np.maximum.at(upd, self.n_dst, depth[self.n_src] + 1)
+            new = np.maximum(depth, upd)
+            if (new == depth).all():
+                return int(depth.max())
+            depth = new
+        raise ValueError("epsilon cycle in decoding graph")
+
+    @property
+    def num_emitting_arcs(self) -> int:
+        return len(self.e_src)
+
+    @property
+    def num_eps_arcs(self) -> int:
+        return len(self.n_src)
+
+
+# ---------------------------------------------------------------------------
+# Device-side primitives (single utterance; vmapped over batch)
+# ---------------------------------------------------------------------------
+
+def _recombine_topk(dst, cost, payloads, k, beam):
+    """Hash-map insert + beam + max-active in one shot: sort candidates
+    by (dst, cost), keep the cheapest per dst, beam-cut, take top-K, and
+    restore state-sorted order (ref: ProcessEmitting's token map +
+    PruneActiveTokens)."""
+    ops = jax.lax.sort((dst, cost) + tuple(payloads), num_keys=2)
+    sdst, scost = ops[0], ops[1]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), sdst[1:] == sdst[:-1]])
+    cutoff = jnp.min(scost) + beam
+    bad = dup | (scost > cutoff) | (sdst == INVALID)
+    scost = jnp.where(bad, BIG, scost)
+    sdst = jnp.where(bad, INVALID, sdst)
+    _, idx = jax.lax.top_k(-scost, k)
+    sel = tuple(o[idx] for o in (sdst, scost) + ops[2:])
+    # restore the state-sorted invariant (dedup marking above happened
+    # after the first sort, so selected entries are not in dst order)
+    return jax.lax.sort(sel, num_keys=2)
+
+
+def _lookup(sorted_states, values, query, default):
+    """values[slot of query] for queries present in the state-sorted
+    active set, else default."""
+    k = sorted_states.shape[0]
+    pos = jnp.clip(jnp.searchsorted(sorted_states, query), 0, k - 1)
+    hit = (sorted_states[pos] == query) & (query != INVALID)
+    return jnp.where(hit, values[pos], default), \
+        jnp.where(hit, pos.astype(jnp.int32), -1)
+
+
+class TpuTopKDecoder:
+    """Batched top-K beam decoder with optional lattice emission.
+
+    Exact Viterbi (matches the host decoder) whenever ``max_active``
+    covers all simultaneously-alive states and the beam is generous;
+    otherwise the usual beam-search approximation, like the reference.
+    """
+
+    def __init__(self, graph: CompiledGraph, beam: float = 16.0,
+                 max_active: int = 2048, acoustic_scale: float = 0.1,
+                 lattice_beam: float = 8.0,
+                 lattice_arcs_per_frame: int = 0,
+                 max_emit_deg: int = 16, max_eps_deg: int = 8):
+        self.g0 = graph
+        self.g = TopKGraph(graph, max_emit_deg, max_eps_deg)
+        g = self.g
+        self.beam = np.float32(min(beam, 1e9))
+        self.K = int(min(max_active, g.num_states))
+        self.acoustic_scale = np.float32(acoustic_scale)
+        self.lattice_beam = float(lattice_beam)
+        self.A_lat = int(lattice_arcs_per_frame)
+        self.De = max(g.max_emit_deg, 1)
+        self.Dn = max(g.max_eps_deg, 1)
+        self.eps_iters = g.eps_depth
+        # device graph
+        self.d = {
+            "e_off": jnp.asarray(g.e_off), "e_dst": jnp.asarray(g.e_dst),
+            "e_pdf": jnp.asarray(g.e_pdf), "e_w": jnp.asarray(g.e_w),
+            "n_off": jnp.asarray(g.n_off), "n_dst": jnp.asarray(g.n_dst),
+            "n_w": jnp.asarray(g.n_w),
+        }
+        self.d_e_pdf = self.d["e_pdf"]
+        self._jit_cache = {}
+
+    # -- expansion ---------------------------------------------------------
+    def _expand(self, states, costs, off, dst, w, width):
+        """Windowed CSR gather of the out-arcs of the active set.
+        Returns flat (arc_id, dst, base_cost, src_slot) of K*width
+        candidates (invalid ones cost BIG / dst INVALID)."""
+        k = states.shape[0]
+        valid = states != INVALID
+        sc = jnp.where(valid, states, 0)
+        base = off[sc]
+        deg = off[sc + 1] - base
+        j = jax.lax.broadcasted_iota(jnp.int32, (k, width), 1)
+        arc = jnp.clip(base[:, None] + j, 0, dst.shape[0] - 1)
+        ok = (j < deg[:, None]) & valid[:, None] & (costs[:, None] < BIG)
+        cdst = jnp.where(ok, dst[arc], INVALID)
+        ccost = jnp.where(ok, costs[:, None] + w[arc], BIG)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k, width), 0)
+        return (arc.reshape(-1), cdst.reshape(-1), ccost.reshape(-1),
+                slot.reshape(-1), ok.reshape(-1))
+
+    # -- one frame ---------------------------------------------------------
+    def _eps_fixpoint(self, fs, fc):
+        d = self.d
+        for _ in range(self.eps_iters):
+            arc, cdst, ccost, _, _ = self._expand(
+                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            alldst = jnp.concatenate([fs, cdst])
+            allcost = jnp.concatenate([fc, ccost])
+            fs, fc = _recombine_topk(alldst, allcost, (), self.K,
+                                     self.beam)
+        return fs, fc
+
+    def _resolve_bp(self, fs, fc, es, ec, e_bp_arc, e_bp_prev):
+        """Post-fixpoint backpointer pass: each surviving token is traced
+        either to the emitting set (same state, same cost) or to the eps
+        in-arc from another surviving token that achieves its cost."""
+        d = self.d
+        tol = np.float32(1e-3)
+        # case a: token unchanged since the emitting step
+        ecost_at, eslot = _lookup(es, ec, fs, BIG)
+        emit_hit = jnp.abs(ecost_at - fc) <= tol
+        # case b: eps arc from another final token
+        if self.eps_iters > 0:
+            arc, cdst, ccost, srcslot, ok = self._expand(
+                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            dcost_at, dslot = _lookup(fs, fc, cdst, BIG)
+            match = ok & (jnp.abs(ccost - dcost_at) <= tol) & (dslot >= 0)
+            seg = jnp.where(match, dslot, self.K).astype(jnp.int32)
+            best_arc = jax.ops.segment_min(
+                jnp.where(match, arc, INVALID), seg,
+                num_segments=self.K + 1)[:self.K]
+            win = match & (arc == best_arc[jnp.where(dslot >= 0, dslot, 0)])
+            best_src = jax.ops.segment_min(
+                jnp.where(win, srcslot, INVALID), seg,
+                num_segments=self.K + 1)[:self.K]
+            eps_hit = best_arc != INVALID
+        else:
+            eps_hit = jnp.zeros_like(fs, dtype=bool)
+            best_arc = jnp.full_like(fs, INVALID)
+            best_src = jnp.full_like(fs, INVALID)
+        n_e = self.g.num_emitting_arcs
+        bp_arc = jnp.where(
+            emit_hit, jnp.where(eslot >= 0, e_bp_arc[
+                jnp.where(eslot >= 0, eslot, 0)], -1),
+            jnp.where(eps_hit, best_arc + n_e, -1))
+        bp_prev = jnp.where(
+            emit_hit, jnp.where(eslot >= 0, e_bp_prev[
+                jnp.where(eslot >= 0, eslot, 0)], -1),
+            jnp.where(eps_hit, best_src, -1))
+        dead = fs == INVALID
+        return jnp.where(dead, -1, bp_arc), jnp.where(dead, -1, bp_prev)
+
+    def _lattice_records(self, prev_fs, prev_fc, fs, fc, am_row, cutoff):
+        """GetRawLattice arc set for one frame: all within-cutoff arcs
+        between surviving tokens, compacted to fixed-size buffers."""
+        d = self.d
+        # emitting arcs prev level -> this level
+        arc, cdst, ccost, srcslot, ok = self._expand(
+            prev_fs, prev_fc, d["e_off"], d["e_dst"], d["e_w"], self.De)
+        ccost = jnp.where(ok, ccost + self.acoustic_scale
+                          * am_row[jnp.where(ok, self.d_e_pdf[arc], 0)],
+                          BIG)
+        _, dslot = _lookup(fs, fc, cdst, BIG)
+        keep = ok & (ccost <= cutoff) & (dslot >= 0)
+        e_rec = self._compact(keep, (srcslot, dslot, arc), self.A_lat)
+        # eps arcs within this level
+        if self.eps_iters > 0:
+            arc, cdst, ccost, srcslot, ok = self._expand(
+                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            _, dslot = _lookup(fs, fc, cdst, BIG)
+            keep = ok & (ccost <= cutoff) & (dslot >= 0)
+            n_rec = self._compact(keep, (srcslot, dslot, arc), self.A_lat)
+        else:
+            z = jnp.full((self.A_lat,), -1, jnp.int32)
+            n_rec = (z, z, z, jnp.int32(0))
+        return e_rec, n_rec
+
+    @staticmethod
+    def _compact(mask, arrays, out_len):
+        n = mask.shape[0]
+        take = min(out_len, n)
+        order = jnp.argsort(jnp.logical_not(mask).astype(jnp.int8),
+                            stable=True)[:take]
+        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)),
+                          np.int32(take))
+        outs = []
+        for a in arrays:
+            v = jnp.where(jnp.arange(take) < cnt, a[order], -1)
+            if take < out_len:
+                v = jnp.pad(v, (0, out_len - take), constant_values=-1)
+            outs.append(v)
+        return tuple(outs) + (cnt,)
+
+    def _frame(self, prev_fs, prev_fc, am_row):
+        d = self.d
+        arc, cdst, ccost, srcslot, ok = self._expand(
+            prev_fs, prev_fc, d["e_off"], d["e_dst"], d["e_w"], self.De)
+        ccost = jnp.where(ok, ccost + self.acoustic_scale
+                          * am_row[jnp.where(ok, self.d_e_pdf[arc], 0)],
+                          BIG)
+        es, ec, e_arc, e_prev = _recombine_topk(
+            cdst, ccost, (arc, srcslot), self.K, self.beam)
+        cutoff = jnp.min(ec) + self.beam
+        fs, fc = self._eps_fixpoint(es, ec)
+        bp_arc, bp_prev = self._resolve_bp(fs, fc, es, ec, e_arc, e_prev)
+        outs = (fs, fc, bp_arc, bp_prev)
+        if self.A_lat:
+            e_rec, n_rec = self._lattice_records(
+                prev_fs, prev_fc, fs, fc, am_row, cutoff)
+            outs = outs + e_rec + n_rec
+        return outs
+
+    # -- full decode -------------------------------------------------------
+    def _decode_impl(self, am_batch):
+        """am_batch [B, T, P] raw acoustic costs (-loglikes)."""
+        B, T, P = am_batch.shape
+        K = self.K
+
+        s0 = jnp.full((K,), INVALID, jnp.int32).at[0].set(self.g.start)
+        c0 = jnp.full((K,), BIG).at[0].set(0.0)
+        fs0, fc0 = self._eps_fixpoint(s0, c0)
+        root_arc = jnp.full((K,), -1, jnp.int32)
+        bp0_arc, bp0_prev = self._resolve_bp(
+            fs0, fc0, s0, c0, root_arc, root_arc)
+        init = (fs0, fc0, bp0_arc, bp0_prev)
+        if self.A_lat:
+            cutoff0 = jnp.min(fc0) + self.beam
+            _, n_rec0 = self._lattice_records(
+                jnp.full((K,), INVALID, jnp.int32), jnp.full((K,), BIG),
+                fs0, fc0, jnp.zeros((P,)), cutoff0)
+        frame_b = jax.vmap(self._frame, in_axes=(0, 0, 0))
+
+        def step(carry, am_row):
+            fs, fc = carry
+            outs = frame_b(fs, fc, am_row)
+            return (outs[0], outs[1]), outs
+
+        initB = tuple(jnp.broadcast_to(x, (B,) + x.shape) for x in init)
+        (_, _), hist = jax.lax.scan(
+            step, (initB[0], initB[1]),
+            jnp.swapaxes(am_batch, 0, 1))
+        out = {"init": initB, "fs": hist[0], "fc": hist[1],
+               "bp_arc": hist[2], "bp_prev": hist[3]}
+        if self.A_lat:
+            out["init_eps"] = tuple(
+                jnp.broadcast_to(x, (B,) + x.shape) for x in n_rec0)
+            out["e_rec"] = hist[4:8]
+            out["n_rec"] = hist[8:12]
+        return out
+
+    def _run(self, loglikes: List[np.ndarray]):
+        B = len(loglikes)
+        T = max(x.shape[0] for x in loglikes)
+        P = loglikes[0].shape[1]
+        am = np.zeros((B, T, P), np.float32)
+        lengths = np.zeros((B,), np.int32)
+        for i, x in enumerate(loglikes):
+            am[i, :x.shape[0]] = -x
+            lengths[i] = x.shape[0]
+        key = (B, T, P, self.A_lat)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._decode_impl)
+        r = jax.device_get(self._jit_cache[key](jnp.asarray(am)))
+        return r, am, lengths
+
+    def decode_batch(
+        self, loglikes: List[np.ndarray]
+    ) -> List[Tuple[np.ndarray, np.ndarray, float]]:
+        """Best-path decode; same contract as TpuViterbiDecoder:
+        per utterance (tids, word ids, total cost)."""
+        r, am, lengths = self._run(loglikes)
+        out = []
+        for b in range(len(loglikes)):
+            out.append(self._best_path(r, am, int(lengths[b]), b))
+        return out
+
+    def _level(self, r, t, b):
+        """(states, costs, bp_arc, bp_prev) at level t (0 = init)."""
+        if t == 0:
+            return tuple(np.asarray(x[b]) for x in r["init"])
+        return (np.asarray(r["fs"][t - 1, b]), np.asarray(r["fc"][t - 1, b]),
+                np.asarray(r["bp_arc"][t - 1, b]),
+                np.asarray(r["bp_prev"][t - 1, b]))
+
+    def _best_path(self, r, am, T, b):
+        g = self.g
+        fs, fc, _, _ = self._level(r, T, b)
+        valid = fs != INVALID
+        if not valid.any():
+            return np.zeros(0, np.int32), np.zeros(0, np.int32), float("inf")
+        total = np.where(valid, fc + g.final[np.where(valid, fs, 0)], BIG)
+        slot = int(np.argmin(total))
+        cost = float(total[slot])
+        if cost >= BIG:        # no final state reached: best active token
+            total = np.where(valid, fc, BIG)
+            slot = int(np.argmin(total))
+            cost = float(total[slot])
+        tids_r: List[int] = []
+        words_r: List[int] = []
+        t = T
+        n_e = g.num_emitting_arcs
+        guard = 0
+        while t >= 0:
+            guard += 1
+            if guard > (T + 2) * (self.eps_iters + 2):
+                raise RuntimeError("backtrace loop")
+            fs_t, fc_t, bp_arc, bp_prev = self._level(r, t, b)
+            a, p = int(bp_arc[slot]), int(bp_prev[slot])
+            if a < 0:
+                if t == 0 and fs_t[slot] == g.start:
+                    break
+                # unresolved: eps predecessor was evicted; repair on host
+                slot2, t2, tids2, words2 = self._host_fix(
+                    r, am, t, b, slot)
+                tids_r.extend(tids2)
+                words_r.extend(words2)
+                slot, t = slot2, t2
+                continue
+            if a >= n_e:                  # eps arc, same level
+                a -= n_e
+                if g.n_olabel[a] > 0:
+                    words_r.append(int(g.n_olabel[a]))
+                slot = p
+            else:                         # emitting arc, previous level
+                tids_r.append(int(g.e_ilabel[a]))
+                if g.e_olabel[a] > 0:
+                    words_r.append(int(g.e_olabel[a]))
+                slot = p
+                t -= 1
+        return (np.asarray(tids_r[::-1], np.int32),
+                np.asarray(words_r[::-1], np.int32), cost)
+
+    def _host_fix(self, r, am, t, b, slot):
+        """Recompute one frame's token chains on the host (numpy, exact)
+        when a device backpointer was left unresolved.  Returns the slot
+        and level to continue from plus the labels collected."""
+        g = self.g
+        fs_t, fc_t, _, _ = self._level(r, t, b)
+        state = int(fs_t[slot])
+        if t == 0:
+            pstates = np.asarray([g.start]); pcosts = np.asarray([0.0])
+        else:
+            pfs, pfc, _, _ = self._level(r, t - 1, b)
+            keep = pfs != INVALID
+            pstates, pcosts = pfs[keep], pfc[keep]
+        # emitting relax (skipped at level 0)
+        cost = {}
+        via = {}
+        if t > 0:
+            row = am[b, t - 1]
+            for ps, pc in zip(pstates.tolist(), pcosts.tolist()):
+                for a in range(g.e_off[ps], g.e_off[ps + 1]):
+                    c = pc + g.e_w[a] + float(self.acoustic_scale) \
+                        * float(row[g.e_pdf[a]])
+                    dd = int(g.e_dst[a])
+                    if c < cost.get(dd, BIG):
+                        cost[dd] = c
+                        via[dd] = ("e", a, int(ps))
+        else:
+            cost[g.start] = 0.0
+            via[g.start] = None
+        # eps closure to fixpoint
+        for _ in range(self.eps_iters + 1):
+            changed = False
+            for s in list(cost):
+                for a in range(g.n_off[s], g.n_off[s + 1]):
+                    c = cost[s] + float(g.n_w[a])
+                    dd = int(g.n_dst[a])
+                    if c < cost.get(dd, BIG) - 1e-6:
+                        cost[dd] = c
+                        via[dd] = ("n", a, s)
+                        changed = True
+            if not changed:
+                break
+        if state not in via:
+            raise RuntimeError("host backtrace repair failed")
+        tids, words = [], []
+        s = state
+        while via.get(s) is not None:
+            kind, a, ps = via[s]
+            if kind == "n":
+                if g.n_olabel[a] > 0:
+                    words.append(int(g.n_olabel[a]))
+                s = ps
+            else:
+                tids.append(int(g.e_ilabel[a]))
+                if g.e_olabel[a] > 0:
+                    words.append(int(g.e_olabel[a]))
+                # continue from the predecessor token at level t-1
+                pfs, _, _, _ = self._level(r, t - 1, b)
+                slots = np.nonzero(pfs == ps)[0]
+                if len(slots) == 0:
+                    raise RuntimeError("host repair: predecessor missing")
+                return int(slots[0]), t - 1, tids, words
+        # reached the start state inside level 0
+        return 0, -1, tids, words
+
+    # -- lattice path ------------------------------------------------------
+    def decode_batch_lattice(self, loglikes: List[np.ndarray]
+                             ) -> List[Lattice]:
+        assert self.A_lat > 0, \
+            "construct with lattice_arcs_per_frame > 0 for lattice output"
+        r, am, lengths = self._run(loglikes)
+        return [self._assemble_lattice(r, am, int(lengths[b]), b)
+                for b in range(len(loglikes))]
+
+    def _assemble_lattice(self, r, am, T, b) -> Lattice:
+        g = self.g
+        K = self.K
+        # node numbering: level-major over valid slots
+        levels = [self._level(r, t, b)[0] for t in range(T + 1)]
+        node = np.full((T + 1, K), -1, np.int64)
+        times = []
+        nid = 0
+        for t in range(T + 1):
+            valid = np.nonzero(levels[t] != INVALID)[0]
+            node[t, valid] = np.arange(nid, nid + len(valid))
+            nid += len(valid)
+            times.extend([t] * len(valid))
+        a_src, a_dst, a_il, a_ol, a_gw, a_ac = [], [], [], [], [], []
+
+        def add_eps(t, src_s, dst_s, arcs, cnt):
+            m = np.arange(len(arcs)) < cnt
+            m &= (node[t, np.clip(src_s, 0, K - 1)] >= 0) & \
+                 (node[t, np.clip(dst_s, 0, K - 1)] >= 0) & (src_s >= 0) \
+                 & (dst_s >= 0)
+            sel = np.nonzero(m)[0]
+            a_src.append(node[t, src_s[sel]])
+            a_dst.append(node[t, dst_s[sel]])
+            a_il.append(np.zeros(len(sel), np.int32))
+            a_ol.append(g.n_olabel[arcs[sel]])
+            a_gw.append(g.n_w[arcs[sel]])
+            a_ac.append(np.zeros(len(sel), np.float32))
+
+        ie = r["init_eps"]
+        add_eps(0, np.asarray(ie[0][b]), np.asarray(ie[1][b]),
+                np.asarray(ie[2][b]), int(ie[3][b]))
+        for t in range(1, T + 1):
+            es, ed, ea, ec_ = [np.asarray(r["e_rec"][j][t - 1, b])
+                               for j in range(3)] + \
+                [int(r["e_rec"][3][t - 1, b])]
+            m = np.arange(len(es)) < ec_
+            m &= (es >= 0) & (ed >= 0)
+            m &= (node[t - 1, np.clip(es, 0, K - 1)] >= 0) & \
+                 (node[t, np.clip(ed, 0, K - 1)] >= 0)
+            sel = np.nonzero(m)[0]
+            a_src.append(node[t - 1, es[sel]])
+            a_dst.append(node[t, ed[sel]])
+            a_il.append(g.e_ilabel[ea[sel]])
+            a_ol.append(g.e_olabel[ea[sel]])
+            a_gw.append(g.e_w[ea[sel]])
+            a_ac.append(am[b, t - 1][g.e_pdf[ea[sel]]])
+            ns, nd, na, nc = [np.asarray(r["n_rec"][j][t - 1, b])
+                              for j in range(3)] + \
+                [int(r["n_rec"][3][t - 1, b])]
+            add_eps(t, ns, nd, na, nc)
+
+        final_graph = np.full(nid, np.inf, np.float32)
+        last = levels[T] != INVALID
+        final_graph[node[T, last]] = g.final[levels[T][last]]
+        lat = Lattice(
+            num_states=nid, start=0,
+            state_time=np.asarray(times, np.int32),
+            arc_src=np.concatenate(a_src).astype(np.int32),
+            arc_dst=np.concatenate(a_dst).astype(np.int32),
+            arc_ilabel=np.concatenate(a_il).astype(np.int32),
+            arc_olabel=np.concatenate(a_ol).astype(np.int32),
+            arc_graph=np.concatenate(a_gw).astype(np.float32),
+            arc_acoustic=np.concatenate(a_ac).astype(np.float32),
+            final_graph=final_graph)
+        if not np.isfinite(lat.final_graph).any():
+            lat.final_graph[node[T, last]] = 0.0
+        return prune_lattice(lat, self.lattice_beam, lm_scale=1.0,
+                             acoustic_scale=float(self.acoustic_scale))

@@ -21,6 +21,16 @@ eigendecomposing the exchangeable Gram matrix of [scaled U; sampled X]
 in the joint span — same fixed point (top-R eigenbasis of the running
 covariance), same cost class O((2R)³), simpler to express in JAX.
 Everything is jit-compatible, fp32, and deterministic.
+
+Divergence vs the exact semantics is bounded by tests/test_ng_oracle.py
+against a full-matrix numpy oracle of the documented update
+(F ← rank-R trunc of (1-η)F + η/N XᵀX, damped inverse, norm-preserving
+rescale): after 150-200 steps on anisotropic data the top-R eigenbasis
+overlap stays > 0.9, preconditioned outputs agree within 15% relative
+Frobenius error, and a full SGD run with either preconditioner lands
+within 0.05 nats of the other's final objf (both beating plain SGD).
+The residual gap comes from the ≤R-row deterministic-stride sampling of
+X in the update (the reference uses all N rows via the R×R recursion).
 """
 
 from __future__ import annotations

@@ -1,0 +1,136 @@
+"""Top-K TPU beam decoder vs host decoder oracle tests (the CPU-vs-GPU
+oracle pattern of SURVEY.md §4), plus graph-scale tests the dense
+decoder cannot pass."""
+
+import numpy as np
+import pytest
+
+from kaldi_cnn_tpu.decode.biggraph import make_big_graph, sample_loglikes
+from kaldi_cnn_tpu.decode.decoder import lattice_decode, viterbi_decode
+from kaldi_cnn_tpu.decode.graph import CompiledGraph
+from kaldi_cnn_tpu.decode.lattice import shortest_path
+from kaldi_cnn_tpu.decode.topk_decoder import TopKGraph, TpuTopKDecoder
+from kaldi_cnn_tpu.lang.arpa import make_unigram_arpa
+from kaldi_cnn_tpu.lang.hclg import Lang, make_hclg_from_arpa
+from kaldi_cnn_tpu.recipes import synthetic
+from kaldi_cnn_tpu.recipes.yesno import compute_features
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from kaldi_cnn_tpu.gmm.train import MonoTrainOptions, train_mono
+    lex = synthetic.digits_lexicon()
+    wp = {w: 0.1 for w in lex.entries}
+    corpus = synthetic.make_corpus(lex, wp, 24, 1, 3, 23)
+    feats = compute_features(corpus, seed=23)
+    lang = Lang.create(lex)
+    am, _ = train_mono(feats, corpus.transcripts, lang,
+                       MonoTrainOptions(num_iters=8, totgauss=150))
+    hclg = CompiledGraph(make_hclg_from_arpa(lang, make_unigram_arpa(wp)),
+                         lang.trans_model.trans_id_to_pdf_array())
+    lls = [am.loglikes(feats[u]) for u in sorted(feats)[:6]]
+    return hclg, lls
+
+
+def test_topk_graph_bounds_degree(setup):
+    hclg, _ = setup
+    tg = TopKGraph(hclg, max_emit=4, max_eps=3)
+    assert tg.max_emit_deg <= 4
+    assert tg.max_eps_deg <= 3
+    # arc multiset preserved (labels + weights)
+    assert sorted(tg.e_ilabel.tolist()) == sorted(hclg.e_ilabel.tolist())
+    assert np.isclose(np.sort(tg.e_w), np.sort(hclg.e_weight)).all()
+    # original eps arcs preserved; extra link arcs are free + unlabeled
+    extra = tg.num_eps_arcs - hclg.num_eps_arcs
+    assert extra >= 0
+    assert np.isclose(tg.n_w.sum(), hclg.n_weight.sum(), atol=1e-4)
+    assert tg.n_olabel.sum() == hclg.n_olabel.sum()
+
+
+def test_topk_matches_host_viterbi_exact(setup):
+    """K >= reachable states, huge beam: must be exact Viterbi."""
+    hclg, lls = setup
+    scale = 0.1
+    dec = TpuTopKDecoder(hclg, beam=1e8, max_active=hclg.num_states + 32,
+                         acoustic_scale=scale)
+    results = dec.decode_batch(lls)
+    for ll, (tids, words, cost) in zip(lls, results):
+        tids_h, words_h, cost_h = viterbi_decode(
+            hclg, ll, acoustic_scale=scale, beam=np.inf, max_active=0)
+        assert list(words) == list(words_h)
+        assert len(tids) == len(tids_h) == ll.shape[0]
+        assert cost == pytest.approx(cost_h, rel=1e-5, abs=1e-2)
+
+
+def test_topk_matches_host_viterbi_pruned(setup):
+    """Tight-ish top-K with generous beam still finds the best path on
+    this graph (the best path's states dominate)."""
+    hclg, lls = setup
+    scale = 0.1
+    dec = TpuTopKDecoder(hclg, beam=200.0, max_active=48,
+                         acoustic_scale=scale)
+    results = dec.decode_batch(lls[:4])
+    for ll, (tids, words, cost) in zip(lls[:4], results):
+        _, words_h, cost_h = viterbi_decode(
+            hclg, ll, acoustic_scale=scale, beam=np.inf, max_active=0)
+        assert list(words) == list(words_h)
+        assert cost == pytest.approx(cost_h, rel=1e-5, abs=1e-2)
+
+
+def test_topk_degree_bounding_does_not_change_result(setup):
+    hclg, lls = setup
+    scale = 0.1
+    a = TpuTopKDecoder(hclg, beam=1e8, max_active=hclg.num_states + 32,
+                       acoustic_scale=scale)
+    b = TpuTopKDecoder(hclg, beam=1e8, max_active=2 * hclg.num_states,
+                       acoustic_scale=scale, max_emit_deg=2, max_eps_deg=2)
+    ra = a.decode_batch(lls[:3])
+    rb = b.decode_batch(lls[:3])
+    for (ta, wa, ca), (tb, wb, cb) in zip(ra, rb):
+        assert list(wa) == list(wb)
+        assert list(ta) == list(tb)
+        assert ca == pytest.approx(cb, rel=1e-5, abs=1e-2)
+
+
+def test_topk_lattice_matches_host_lattice(setup):
+    """TPU-emitted raw lattice: one-best equals the host lattice
+    decoder's one-best, and a rescoring sweep tracks it too."""
+    hclg, lls = setup
+    scale = 0.1
+    dec = TpuTopKDecoder(hclg, beam=14.0, max_active=hclg.num_states + 32,
+                         acoustic_scale=scale, lattice_beam=7.0,
+                         lattice_arcs_per_frame=2048)
+    lats = dec.decode_batch_lattice(lls[:4])
+    for ll, lat in zip(lls[:4], lats):
+        lat_h = lattice_decode(hclg, ll, acoustic_scale=scale, beam=14.0,
+                               lattice_beam=7.0, max_active=0)
+        t, w, c = shortest_path(lat, acoustic_scale=scale)
+        t_h, w_h, c_h = shortest_path(lat_h, acoustic_scale=scale)
+        assert list(w) == list(w_h)
+        assert c == pytest.approx(c_h, rel=1e-4, abs=5e-2)
+        # rescoring sweep over acoustic scales on both lattices
+        for s2 in (0.08, 0.12):
+            _, w2, c2 = shortest_path(lat, acoustic_scale=s2)
+            _, w2h, c2h = shortest_path(lat_h, acoustic_scale=s2)
+            assert list(w2) == list(w2h)
+            assert c2 == pytest.approx(c2h, rel=1e-4, abs=5e-2)
+
+
+def test_topk_big_graph_scales():
+    """A graph far past the dense decoder's comfort zone: the top-K
+    decoder's working set is O(K), not O(states)."""
+    P = 64
+    g = make_big_graph(num_words=2000, num_pdfs=P, seed=1)
+    assert g.num_states > 10_000
+    lls = [sample_loglikes(g, P, T=40, seed=s) for s in (0, 1)]
+    # peaked acoustics: the best path dominates, so beam search (device,
+    # candidate-level pruning) and exact Viterbi (host) must agree
+    dec = TpuTopKDecoder(g, beam=80.0, max_active=4096,
+                         acoustic_scale=1.0)
+    results = dec.decode_batch(lls)
+    for ll, (tids, words, cost) in zip(lls, results):
+        tids_h, words_h, cost_h = viterbi_decode(
+            g, ll, acoustic_scale=1.0, beam=np.inf, max_active=0)
+        assert len(tids) == ll.shape[0]
+        assert cost == pytest.approx(cost_h, rel=1e-4, abs=0.1)
+        assert list(words) == list(words_h)
