@@ -26,51 +26,42 @@ def make_big_graph(num_words: int, num_pdfs: int,
     carrying the unigram cost and exited by an emitting arc labeled w.
     Transition-ids are 1 + pdf-id (identity mapping)."""
     rng = np.random.default_rng(seed)
-    lens = rng.integers(min_len, max_len + 1, size=num_words)
-    num_states = 1 + int(lens.sum())
-    e_src, e_dst, e_il, e_ol, e_w = [], [], [], [], []
-    n_src, n_dst, n_ol, n_w = [], [], [], []
+    lens = rng.integers(min_len, max_len + 1, size=num_words).astype(
+        np.int64)
+    total = int(lens.sum())
+    num_states = 1 + total
+    # chain states are 1..total, word w occupying [starts[w], starts[w]+L)
+    starts = 1 + np.concatenate([[0], np.cumsum(lens[:-1])])
+    # per chain-state arrays (vectorized: 10^6-arc graphs build in ms)
+    word_of = np.repeat(np.arange(num_words, dtype=np.int64), lens)
+    state = np.arange(1, num_states, dtype=np.int64)
+    is_last = np.zeros(total, bool)
+    is_last[np.cumsum(lens) - 1] = True
+    pdfs = rng.integers(0, num_pdfs, size=total).astype(np.int32)
+    # interleave (self-loop, forward) per state like the original layout
+    e_src = np.repeat(state, 2)
+    e_dst = np.repeat(state, 2)
+    e_dst[1::2] = np.where(is_last, 0, state + 1)
+    e_il = np.repeat(pdfs + 1, 2)
+    e_ol = np.zeros(2 * total, np.int64)
+    e_ol[1::2] = np.where(is_last, word_of + 1, 0)
     # distinct unigram costs (exact ties between word hypotheses make
     # top-K vs keep-all-ties pruning diverge, which is noise, not signal)
     lm_cost = np.log(num_words) + rng.uniform(-1.0, 1.0, size=num_words)
-    s = 1
-    for w in range(num_words):
-        L = int(lens[w])
-        pdfs = rng.integers(0, num_pdfs, size=L)
-        n_src.append(0)
-        n_dst.append(s)
-        n_ol.append(0)
-        n_w.append(float(lm_cost[w]))
-        for i in range(L):
-            tid = int(pdfs[i]) + 1
-            # self-loop
-            e_src.append(s + i)
-            e_dst.append(s + i)
-            e_il.append(tid)
-            e_ol.append(0)
-            e_w.append(0.7)
-            # forward
-            nxt = s + i + 1 if i + 1 < L else 0
-            e_src.append(s + i)
-            e_dst.append(nxt)
-            e_il.append(tid)
-            e_ol.append(w + 1 if i + 1 == L else 0)
-            e_w.append(0.7)
-        s += L
 
     g = CompiledGraph.__new__(CompiledGraph)
     g.num_states = num_states
     g.start = 0
-    g.e_src = np.asarray(e_src, np.int32)
-    g.e_dst = np.asarray(e_dst, np.int32)
-    g.e_ilabel = np.asarray(e_il, np.int32)
-    g.e_olabel = np.asarray(e_ol, np.int32)
-    g.e_weight = np.asarray(e_w, np.float32)
+    g.e_src = e_src.astype(np.int32)
+    g.e_dst = e_dst.astype(np.int32)
+    g.e_ilabel = e_il.astype(np.int32)
+    g.e_olabel = e_ol.astype(np.int32)
+    g.e_weight = np.full(2 * total, 0.7, np.float32)
     g.e_pdf = (g.e_ilabel - 1).astype(np.int32)
-    g.n_src = np.asarray(n_src, np.int32)
-    g.n_dst = np.asarray(n_dst, np.int32)
-    g.n_olabel = np.asarray(n_ol, np.int32)
-    g.n_weight = np.asarray(n_w, np.float32)
+    g.n_src = np.zeros(num_words, np.int32)
+    g.n_dst = starts.astype(np.int32)
+    g.n_olabel = np.zeros(num_words, np.int32)
+    g.n_weight = lm_cost.astype(np.float32)
     g.final = np.where(np.arange(num_states) == 0, 0.0,
                        np.inf).astype(np.float32)
     return g

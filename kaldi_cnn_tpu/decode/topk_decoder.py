@@ -13,8 +13,10 @@ graph size:
 
   tokens   = K active (state, cost) pairs, kept SORTED BY STATE so that
              membership lookup is a binary search, not an O(S) table;
-  expand   = windowed gather of each active state's outgoing arcs from a
-             degree-bounded CSR packing (see ``bound_degree``);
+  expand   = windowed gather of each active state's outgoing arcs from
+             the CSR packing, PLUS a dense relaxation of the arcs of the
+             few statically-identified high-degree hub states (LM
+             backoff / word-loop hubs; see ``TopKGraph``);
   recombine= lax.sort by (dst, cost) + dedup mask  (the hash-map insert);
   prune    = candidate beam cutoff + lax.top_k     (beam + max-active);
   eps      = the same expand/recombine on the eps arc table, iterated to
@@ -56,113 +58,67 @@ INVALID = np.int32(2**31 - 1)
 # ---------------------------------------------------------------------------
 
 class TopKGraph:
-    """Degree-bounded CSR packing of a CompiledGraph.
+    """Two-tier CSR packing of a CompiledGraph.
 
-    States whose out-degree exceeds the caps (LM backoff hubs etc.) are
-    split into an epsilon fan-out tree of auxiliary states so the decoder
-    can gather each state's arcs with a fixed window.  Aux states carry
-    zero-weight unlabeled eps arcs: path costs and label sequences are
-    unchanged; the eps-DAG depth grows by the tree depth.
+    Arc tables are sorted by source state (full CSR, arc multiset and
+    state numbering unchanged).  States whose out-degree fits the caps
+    are expanded with a fixed gather window per frame; the few states
+    that exceed them (LM backoff / word-loop hubs with 10^4-10^5 arcs)
+    are marked as *hubs* and get a dense relaxation instead: every hub
+    arc is a candidate every frame, its source cost looked up in the
+    active set.  That is exactly the cost the reference pays when a hub
+    is active (ProcessEmitting walks all its arcs) — but here the hub
+    arc set is static, so the shapes stay XLA-friendly.
     """
 
     def __init__(self, g: CompiledGraph, max_emit: int = 16,
                  max_eps: int = 8):
         assert max_emit >= 1 and max_eps >= 2
         S = g.num_states
-        e_lists: List[List[int]] = [[] for _ in range(S)]
-        n_lists: List[List[int]] = [[] for _ in range(S)]
-        for i, s in enumerate(np.asarray(g.e_src)):
-            e_lists[s].append(i)
-        for i, s in enumerate(np.asarray(g.n_src)):
-            n_lists[s].append(i)
-
-        # out arrays (arc tuples reference the original tables; link arcs
-        # use index -1 markers resolved below)
-        e_src2: List[int] = []
-        e_ref: List[int] = []
-        n_src2: List[int] = []
-        n_ref: List[int] = []          # >=0: original eps arc, -1-c: link
-        link_dst: List[int] = []
-        next_state = S
-
-        # queue of (state, emit arc ids, eps arc ids)
-        queue = [(s, e_lists[s], n_lists[s]) for s in range(S)]
-        qi = 0
-        while qi < len(queue):
-            s, el, nl = queue[qi]
-            qi += 1
-            if len(el) <= max_emit and len(nl) <= max_eps:
-                e_src2.extend([s] * len(el)); e_ref.extend(el)
-                n_src2.extend([s] * len(nl)); n_ref.extend(nl)
-                continue
-            nc = max(2, max_eps // 2)          # children per split node
-            keep_n = max(0, max_eps - nc)
-            e_keep, e_rem = el[:max_emit], el[max_emit:]
-            n_keep, n_rem = nl[:keep_n], nl[keep_n:]
-            e_src2.extend([s] * len(e_keep)); e_ref.extend(e_keep)
-            n_src2.extend([s] * len(n_keep)); n_ref.extend(n_keep)
-            # overflow arcs, distributed round-robin over nc children
-            rem = [("e", a) for a in e_rem] + [("n", a) for a in n_rem]
-            chunks: List[List[Tuple[str, int]]] = [[] for _ in range(nc)]
-            for j, item in enumerate(rem):
-                chunks[j % nc].append(item)
-            for ch in chunks:
-                if not ch:
-                    continue
-                c = next_state
-                next_state += 1
-                n_src2.append(s)
-                n_ref.append(-1 - len(link_dst))
-                link_dst.append(c)
-                queue.append((c, [a for k, a in ch if k == "e"],
-                              [a for k, a in ch if k == "n"]))
-
-        self.num_states = next_state
+        self.num_states = S
         self.start = g.start
-        e_ref_a = np.asarray(e_ref, np.int64)
-        e_src_a = np.asarray(e_src2, np.int64)
-        order = np.argsort(e_src_a, kind="stable")
-        e_ref_a, e_src_a = e_ref_a[order], e_src_a[order]
+
+        # full CSR over all emitting arcs (vectorized: 10^6-10^7 arc
+        # graphs pack in milliseconds)
+        e_order = np.argsort(np.asarray(g.e_src, np.int64), kind="stable")
+        e_src_a = np.asarray(g.e_src, np.int64)[e_order]
         self.e_src = e_src_a.astype(np.int32)
-        self.e_dst = g.e_dst[e_ref_a]
-        self.e_pdf = g.e_pdf[e_ref_a]
-        self.e_w = g.e_weight[e_ref_a]
-        self.e_ilabel = g.e_ilabel[e_ref_a]
-        self.e_olabel = g.e_olabel[e_ref_a]
+        self.e_dst = g.e_dst[e_order]
+        self.e_pdf = g.e_pdf[e_order]
+        self.e_w = g.e_weight[e_order]
+        self.e_ilabel = g.e_ilabel[e_order]
+        self.e_olabel = g.e_olabel[e_order]
         self.e_off = np.searchsorted(
-            e_src_a, np.arange(self.num_states + 1)).astype(np.int32)
+            e_src_a, np.arange(S + 1)).astype(np.int32)
 
-        n_ref_a = np.asarray(n_ref, np.int64)
-        n_src_a = np.asarray(n_src2, np.int64)
-        order = np.argsort(n_src_a, kind="stable")
-        n_ref_a, n_src_a = n_ref_a[order], n_src_a[order]
-        is_link = n_ref_a < 0
-        n_dst = np.zeros(len(n_ref_a), np.int32)
-        n_w = np.zeros(len(n_ref_a), np.float32)
-        n_ol = np.zeros(len(n_ref_a), np.int32)
-        if is_link.any():
-            link_dst_a = np.asarray(link_dst, np.int64)
-            n_dst[is_link] = link_dst_a[-1 - n_ref_a[is_link]]
-        if (~is_link).any():
-            orig = n_ref_a[~is_link]
-            n_dst[~is_link] = g.n_dst[orig]
-            n_w[~is_link] = g.n_weight[orig]
-            n_ol[~is_link] = g.n_olabel[orig]
+        n_order = np.argsort(np.asarray(g.n_src, np.int64), kind="stable")
+        n_src_a = np.asarray(g.n_src, np.int64)[n_order]
         self.n_src = n_src_a.astype(np.int32)
-        self.n_dst = n_dst
-        self.n_w = n_w
-        self.n_olabel = n_ol
+        self.n_dst = g.n_dst[n_order]
+        self.n_w = g.n_weight[n_order]
+        self.n_olabel = g.n_olabel[n_order]
         self.n_off = np.searchsorted(
-            n_src_a, np.arange(self.num_states + 1)).astype(np.int32)
+            n_src_a, np.arange(S + 1)).astype(np.int32)
 
-        self.final = np.concatenate(
-            [g.final, np.full(self.num_states - S, np.inf, np.float32)])
-        self.max_emit_deg = int(
-            (self.e_off[1:] - self.e_off[:-1]).max()) if len(self.e_src) \
-            else 0
-        self.max_eps_deg = int(
-            (self.n_off[1:] - self.n_off[:-1]).max()) if len(self.n_src) \
-            else 0
+        # hub classification (per arc family)
+        e_deg = self.e_off[1:] - self.e_off[:-1]
+        n_deg = self.n_off[1:] - self.n_off[:-1]
+        self.e_is_hub = (e_deg > max_emit)
+        self.n_is_hub = (n_deg > max_eps)
+        self.e_hub_arcs = np.concatenate(
+            [np.arange(self.e_off[s], self.e_off[s + 1])
+             for s in np.nonzero(self.e_is_hub)[0]] or
+            [np.zeros(0, np.int64)]).astype(np.int32)
+        self.n_hub_arcs = np.concatenate(
+            [np.arange(self.n_off[s], self.n_off[s + 1])
+             for s in np.nonzero(self.n_is_hub)[0]] or
+            [np.zeros(0, np.int64)]).astype(np.int32)
+        self.max_emit_deg = int(e_deg[~self.e_is_hub].max()) \
+            if (~self.e_is_hub).any() and len(self.e_src) else 0
+        self.max_eps_deg = int(n_deg[~self.n_is_hub].max()) \
+            if (~self.n_is_hub).any() and len(self.n_src) else 0
+
+        self.final = np.asarray(g.final, np.float32)
         self.eps_depth = self._eps_depth()
 
     def _eps_depth(self, cap: int = 64) -> int:
@@ -233,7 +189,13 @@ class TpuTopKDecoder:
                  max_active: int = 2048, acoustic_scale: float = 0.1,
                  lattice_beam: float = 8.0,
                  lattice_arcs_per_frame: int = 0,
-                 max_emit_deg: int = 16, max_eps_deg: int = 8):
+                 max_emit_deg: int = 16, max_eps_deg: int = 8,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a ``data`` axis —
+        the utterance batch shards over it (decoder-state parallelism:
+        graph arrays replicate, token state stays per-utterance, so no
+        collectives cross utterances; SURVEY.md §2.2 decoder-state row).
+        """
         self.g0 = graph
         self.g = TopKGraph(graph, max_emit_deg, max_eps_deg)
         g = self.g
@@ -244,6 +206,8 @@ class TpuTopKDecoder:
         self.A_lat = int(lattice_arcs_per_frame)
         self.De = max(g.max_emit_deg, 1)
         self.Dn = max(g.max_eps_deg, 1)
+        self.He = len(g.e_hub_arcs)
+        self.Hn = len(g.n_hub_arcs)
         self.eps_iters = g.eps_depth
         # device graph
         self.d = {
@@ -251,15 +215,29 @@ class TpuTopKDecoder:
             "e_pdf": jnp.asarray(g.e_pdf), "e_w": jnp.asarray(g.e_w),
             "n_off": jnp.asarray(g.n_off), "n_dst": jnp.asarray(g.n_dst),
             "n_w": jnp.asarray(g.n_w),
+            "e_is_hub": jnp.asarray(g.e_is_hub),
+            "n_is_hub": jnp.asarray(g.n_is_hub),
         }
+        # dense hub arc tables (see TopKGraph docstring)
+        if self.He:
+            ha = g.e_hub_arcs
+            self.d["e_hub"] = tuple(jnp.asarray(x) for x in (
+                ha, g.e_src[ha], g.e_dst[ha], g.e_w[ha], g.e_pdf[ha]))
+        if self.Hn:
+            ha = g.n_hub_arcs
+            self.d["n_hub"] = tuple(jnp.asarray(x) for x in (
+                ha, g.n_src[ha], g.n_dst[ha], g.n_w[ha]))
         self.d_e_pdf = self.d["e_pdf"]
+        self.mesh = mesh
         self._jit_cache = {}
 
     # -- expansion ---------------------------------------------------------
-    def _expand(self, states, costs, off, dst, w, width):
-        """Windowed CSR gather of the out-arcs of the active set.
-        Returns flat (arc_id, dst, base_cost, src_slot) of K*width
-        candidates (invalid ones cost BIG / dst INVALID)."""
+    def _expand(self, states, costs, off, dst, w, width, is_hub):
+        """Windowed CSR gather of the out-arcs of the active set's
+        non-hub states.  Returns flat (arc_id, dst, base_cost, src_slot,
+        ok) of K*width candidates (invalid ones cost BIG / dst
+        INVALID).  Hub states are masked out here — their arcs come from
+        the dense hub tables via _expand_hub."""
         k = states.shape[0]
         valid = states != INVALID
         sc = jnp.where(valid, states, 0)
@@ -267,19 +245,53 @@ class TpuTopKDecoder:
         deg = off[sc + 1] - base
         j = jax.lax.broadcasted_iota(jnp.int32, (k, width), 1)
         arc = jnp.clip(base[:, None] + j, 0, dst.shape[0] - 1)
-        ok = (j < deg[:, None]) & valid[:, None] & (costs[:, None] < BIG)
+        ok = ((j < deg[:, None]) & valid[:, None]
+              & (costs[:, None] < BIG) & ~is_hub[sc][:, None])
         cdst = jnp.where(ok, dst[arc], INVALID)
         ccost = jnp.where(ok, costs[:, None] + w[arc], BIG)
         slot = jax.lax.broadcasted_iota(jnp.int32, (k, width), 0)
         return (arc.reshape(-1), cdst.reshape(-1), ccost.reshape(-1),
                 slot.reshape(-1), ok.reshape(-1))
 
+    def _expand_hub(self, states, costs, hub):
+        """Dense relaxation of the static hub arc tables: every hub arc
+        is a candidate; its source cost is a binary-search lookup in the
+        active set (miss -> BIG, pruned by recombine)."""
+        arc, src, dst, w = hub[0], hub[1], hub[2], hub[3]
+        scost, sslot = _lookup(states, costs, src, BIG)
+        ok = (sslot >= 0) & (scost < BIG)
+        cdst = jnp.where(ok, dst, INVALID)
+        ccost = jnp.where(ok, scost + w, BIG)
+        return arc, cdst, ccost, sslot, ok
+
+    @staticmethod
+    def _cat(parts_a, parts_b):
+        """Concatenate two candidate tuples (arc, dst, cost, slot, ok)."""
+        return tuple(jnp.concatenate([a, b])
+                     for a, b in zip(parts_a, parts_b))
+
+    def _expand_emit(self, states, costs):
+        d = self.d
+        cand = self._expand(states, costs, d["e_off"], d["e_dst"],
+                            d["e_w"], self.De, d["e_is_hub"])
+        if self.He:
+            cand = self._cat(cand, self._expand_hub(states, costs,
+                                                    d["e_hub"]))
+        return cand
+
+    def _expand_eps(self, states, costs):
+        d = self.d
+        cand = self._expand(states, costs, d["n_off"], d["n_dst"],
+                            d["n_w"], self.Dn, d["n_is_hub"])
+        if self.Hn:
+            cand = self._cat(cand, self._expand_hub(states, costs,
+                                                    d["n_hub"]))
+        return cand
+
     # -- one frame ---------------------------------------------------------
     def _eps_fixpoint(self, fs, fc):
-        d = self.d
         for _ in range(self.eps_iters):
-            arc, cdst, ccost, _, _ = self._expand(
-                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            arc, cdst, ccost, _, _ = self._expand_eps(fs, fc)
             alldst = jnp.concatenate([fs, cdst])
             allcost = jnp.concatenate([fc, ccost])
             fs, fc = _recombine_topk(alldst, allcost, (), self.K,
@@ -290,15 +302,13 @@ class TpuTopKDecoder:
         """Post-fixpoint backpointer pass: each surviving token is traced
         either to the emitting set (same state, same cost) or to the eps
         in-arc from another surviving token that achieves its cost."""
-        d = self.d
         tol = np.float32(1e-3)
         # case a: token unchanged since the emitting step
         ecost_at, eslot = _lookup(es, ec, fs, BIG)
         emit_hit = jnp.abs(ecost_at - fc) <= tol
         # case b: eps arc from another final token
         if self.eps_iters > 0:
-            arc, cdst, ccost, srcslot, ok = self._expand(
-                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            arc, cdst, ccost, srcslot, ok = self._expand_eps(fs, fc)
             dcost_at, dslot = _lookup(fs, fc, cdst, BIG)
             match = ok & (jnp.abs(ccost - dcost_at) <= tol) & (dslot >= 0)
             seg = jnp.where(match, dslot, self.K).astype(jnp.int32)
@@ -329,10 +339,9 @@ class TpuTopKDecoder:
     def _lattice_records(self, prev_fs, prev_fc, fs, fc, am_row, cutoff):
         """GetRawLattice arc set for one frame: all within-cutoff arcs
         between surviving tokens, compacted to fixed-size buffers."""
-        d = self.d
         # emitting arcs prev level -> this level
-        arc, cdst, ccost, srcslot, ok = self._expand(
-            prev_fs, prev_fc, d["e_off"], d["e_dst"], d["e_w"], self.De)
+        arc, cdst, ccost, srcslot, ok = self._expand_emit(
+            prev_fs, prev_fc)
         ccost = jnp.where(ok, ccost + self.acoustic_scale
                           * am_row[jnp.where(ok, self.d_e_pdf[arc], 0)],
                           BIG)
@@ -341,8 +350,7 @@ class TpuTopKDecoder:
         e_rec = self._compact(keep, (srcslot, dslot, arc), self.A_lat)
         # eps arcs within this level
         if self.eps_iters > 0:
-            arc, cdst, ccost, srcslot, ok = self._expand(
-                fs, fc, d["n_off"], d["n_dst"], d["n_w"], self.Dn)
+            arc, cdst, ccost, srcslot, ok = self._expand_eps(fs, fc)
             _, dslot = _lookup(fs, fc, cdst, BIG)
             keep = ok & (ccost <= cutoff) & (dslot >= 0)
             n_rec = self._compact(keep, (srcslot, dslot, arc), self.A_lat)
@@ -368,9 +376,8 @@ class TpuTopKDecoder:
         return tuple(outs) + (cnt,)
 
     def _frame(self, prev_fs, prev_fc, am_row):
-        d = self.d
-        arc, cdst, ccost, srcslot, ok = self._expand(
-            prev_fs, prev_fc, d["e_off"], d["e_dst"], d["e_w"], self.De)
+        arc, cdst, ccost, srcslot, ok = self._expand_emit(
+            prev_fs, prev_fc)
         ccost = jnp.where(ok, ccost + self.acoustic_scale
                           * am_row[jnp.where(ok, self.d_e_pdf[arc], 0)],
                           BIG)
@@ -428,14 +435,24 @@ class TpuTopKDecoder:
         B = len(loglikes)
         T = max(x.shape[0] for x in loglikes)
         P = loglikes[0].shape[1]
-        am = np.zeros((B, T, P), np.float32)
+        Bp = B
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            Bp = -(-B // n) * n          # pad batch to the data axis
+        am = np.zeros((Bp, T, P), np.float32)
         lengths = np.zeros((B,), np.int32)
         for i, x in enumerate(loglikes):
             am[i, :x.shape[0]] = -x
             lengths[i] = x.shape[0]
-        key = (B, T, P, self.A_lat)
+        key = (Bp, T, P, self.A_lat)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(self._decode_impl)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sh = NamedSharding(self.mesh, PartitionSpec("data"))
+                self._jit_cache[key] = jax.jit(self._decode_impl,
+                                               in_shardings=sh)
+            else:
+                self._jit_cache[key] = jax.jit(self._decode_impl)
         r = jax.device_get(self._jit_cache[key](jnp.asarray(am)))
         return r, am, lengths
 

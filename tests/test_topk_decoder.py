@@ -116,6 +116,46 @@ def test_topk_lattice_matches_host_lattice(setup):
             assert c2 == pytest.approx(c2h, rel=1e-4, abs=5e-2)
 
 
+def test_topk_mesh_sharded_decode_matches_single_device(setup):
+    """Decoder-state parallelism (SURVEY.md §2.2): utterance batch
+    sharded over the 8-device mesh 'data' axis gives results identical
+    to the single-device decode."""
+    import jax
+    from jax.sharding import Mesh
+    hclg, lls = setup
+    scale = 0.1
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    a = TpuTopKDecoder(hclg, beam=1e8, max_active=hclg.num_states + 32,
+                       acoustic_scale=scale)
+    b = TpuTopKDecoder(hclg, beam=1e8, max_active=hclg.num_states + 32,
+                       acoustic_scale=scale, mesh=mesh)
+    ra = a.decode_batch(lls)       # 6 utts: also exercises batch padding
+    rb = b.decode_batch(lls)
+    for (ta, wa, ca), (tb, wb, cb) in zip(ra, rb):
+        assert list(wa) == list(wb)
+        assert list(ta) == list(tb)
+        assert ca == pytest.approx(cb, rel=1e-5, abs=1e-2)
+
+
+def test_topk_huge_graph_million_arcs():
+    """VERDICT round-1 'done' bar: a >=100k-state / >=1M-arc graph
+    decodes within memory and matches the host decoder's best path."""
+    P = 256
+    g = make_big_graph(num_words=90_000, num_pdfs=P, min_len=4,
+                       max_len=8, seed=3)
+    assert g.num_states >= 100_000
+    assert g.num_emitting_arcs + g.num_eps_arcs >= 1_000_000
+    ll = sample_loglikes(g, P, T=20, seed=5)
+    dec = TpuTopKDecoder(g, beam=60.0, max_active=4096,
+                         acoustic_scale=1.0)
+    ((tids, words, cost),) = dec.decode_batch([ll])
+    tids_h, words_h, cost_h = viterbi_decode(
+        g, ll, acoustic_scale=1.0, beam=np.inf, max_active=0)
+    assert len(tids) == ll.shape[0]
+    assert cost == pytest.approx(cost_h, rel=1e-4, abs=0.1)
+    assert list(words) == list(words_h)
+
+
 def test_topk_big_graph_scales():
     """A graph far past the dense decoder's comfort zone: the top-K
     decoder's working set is O(K), not O(states)."""
