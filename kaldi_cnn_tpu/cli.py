@@ -555,6 +555,11 @@ VERBS = {
     "arpa2fst": cmd_arpa2fst,
 }
 
+# training/alignment/decoding pipeline verbs (cli_train.py)
+from kaldi_cnn_tpu.cli_train import TRAIN_VERBS
+
+VERBS.update(TRAIN_VERBS)
+
 
 def main(argv: List[str] = None) -> int:
     argv = sys.argv[1:] if argv is None else argv

@@ -1,0 +1,392 @@
+"""Training/alignment/decoding CLI verbs — the reference's load-bearing
+pipeline binaries as verbs (SURVEY.md §2.1 CLI row):
+
+  prepare-lang          utils/prepare_lang.sh
+  compile-train-graphs  bin/compile-train-graphs.cc
+  gmm-train-mono        steps/train_mono.sh (gmm-init-mono + EM loop)
+  gmm-align             bin/align-compiled-mapped.cc / gmm-align-compiled
+  nnet-get-egs          nnet2bin/nnet-get-egs.cc
+  nnet-train            nnet2bin/nnet-train-simple.cc
+  mkgraph               utils/mkgraph.sh
+  latgen-faster         nnet2bin/nnet-latgen-faster.cc / gmm-latgen-faster
+
+Each reads/writes on-disk artifacts (ark/scp features, .mdl models,
+text FSTs, npz egs/lattices) so the whole pipeline composes from the
+shell exactly like the reference's recipes do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- helpers
+
+def _load_lang(lang_dir: str):
+    """Rebuild Lang deterministically from <lang_dir>/lexicon.txt — the
+    CLI's lang-dir contract (prepare-lang writes it)."""
+    from kaldi_cnn_tpu.lang.hclg import Lang
+    from kaldi_cnn_tpu.recipes.datadir import read_lexicon_file
+    lex = read_lexicon_file(os.path.join(lang_dir, "lexicon.txt"))
+    return Lang.create(lex)
+
+
+def _read_text(path: str) -> Dict[str, List[str]]:
+    out = {}
+    for line in open(path):
+        parts = line.split()
+        if parts:
+            out[parts[0]] = parts[1:]
+    return out
+
+
+def write_fst_archive(path: str, fsts: Dict[str, "object"]) -> None:
+    """Keyed text-FST archive: '<key>\\n<arcs...>\\n\\n' per entry."""
+    import io
+    with open(path, "w", encoding="utf-8") as f:
+        for key in sorted(fsts):
+            f.write(key + "\n")
+            buf = io.StringIO()
+            fsts[key].write_text(buf)
+            f.write(buf.getvalue())
+            f.write("\n")
+
+
+def read_fst_archive(path: str) -> Dict[str, "object"]:
+    import io
+    from kaldi_cnn_tpu.lang.fst import Fst
+    out = {}
+    key, lines = None, []
+    for line in list(open(path)) + [""]:
+        stripped = line.rstrip("\n")
+        if key is None:
+            if stripped:
+                key = stripped
+            continue
+        if stripped == "":
+            out[key] = Fst.read_text(io.StringIO("".join(lines)))
+            key, lines = None, []
+        else:
+            lines.append(line)
+    return out
+
+
+# ------------------------------------------------------------------ verbs
+
+def cmd_prepare_lang(argv: List[str]) -> int:
+    """lexicon.txt -> lang dir with phones.txt/words.txt (ref:
+    utils/prepare_lang.sh)."""
+    from kaldi_cnn_tpu.lang.hclg import Lang
+    from kaldi_cnn_tpu.recipes.datadir import read_lexicon_file
+    p = argparse.ArgumentParser(prog="prepare-lang")
+    p.add_argument("lexicon", help="lexicon.txt: word phone phone ...")
+    p.add_argument("lang_dir")
+    args = p.parse_args(argv)
+    os.makedirs(args.lang_dir, exist_ok=True)
+    lex = read_lexicon_file(args.lexicon)
+    lang = Lang.create(lex)
+    import shutil
+    dst = os.path.join(args.lang_dir, "lexicon.txt")
+    if os.path.abspath(args.lexicon) != os.path.abspath(dst):
+        shutil.copyfile(args.lexicon, dst)
+    lang.phone_table.write(os.path.join(args.lang_dir, "phones.txt"))
+    lang.word_table.write(os.path.join(args.lang_dir, "words.txt"))
+    print(f"prepare-lang: {len(lex.entries)} words, "
+          f"{len(lex.phones)} phones, "
+          f"{lang.trans_model.num_transition_ids} transition-ids",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_compile_train_graphs(argv: List[str]) -> int:
+    """Per-utterance training graphs from transcripts (ref:
+    bin/compile-train-graphs.cc TrainingGraphCompiler::CompileGraphs)."""
+    from kaldi_cnn_tpu.lang.hclg import compile_training_graph
+    p = argparse.ArgumentParser(prog="compile-train-graphs")
+    p.add_argument("--transition-scale", type=float, default=1.0)
+    p.add_argument("--self-loop-scale", type=float, default=0.1)
+    p.add_argument("lang_dir")
+    p.add_argument("text", help="<utt> <word> ... per line")
+    p.add_argument("out_archive")
+    args = p.parse_args(argv)
+    lang = _load_lang(args.lang_dir)
+    text = _read_text(args.text)
+    graphs = {
+        utt: compile_training_graph(
+            lang, words, transition_scale=args.transition_scale,
+            self_loop_scale=args.self_loop_scale)
+        for utt, words in text.items()}
+    write_fst_archive(args.out_archive, graphs)
+    print(f"compile-train-graphs: {len(graphs)} graphs",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_gmm_train_mono(argv: List[str]) -> int:
+    """Flat-start monophone EM training (ref: steps/train_mono.sh:
+    gmm-init-mono + align/acc/est iterations)."""
+    from kaldi_cnn_tpu.gmm.train import MonoTrainOptions, train_mono
+    from kaldi_cnn_tpu.io.kaldi_io import ArkWriter, read_scp_dict
+    from kaldi_cnn_tpu.io.kaldi_model import write_gmm_model
+    p = argparse.ArgumentParser(prog="gmm-train-mono")
+    p.add_argument("--num-iters", type=int, default=25)
+    p.add_argument("--totgauss", type=int, default=400)
+    p.add_argument("--beam", type=float, default=128.0)
+    p.add_argument("lang_dir")
+    p.add_argument("feats_scp")
+    p.add_argument("text")
+    p.add_argument("out_mdl")
+    p.add_argument("out_ali_ark")
+    args = p.parse_args(argv)
+    lang = _load_lang(args.lang_dir)
+    feats = read_scp_dict(args.feats_scp)
+    text = _read_text(args.text)
+    am, ali = train_mono(
+        feats, text, lang,
+        MonoTrainOptions(num_iters=args.num_iters,
+                         totgauss=args.totgauss, beam=args.beam))
+    write_gmm_model(args.out_mdl, lang.trans_model, am)
+    with ArkWriter(args.out_ali_ark) as w:
+        for utt in sorted(ali):
+            w.write(utt, np.asarray(ali[utt], np.int32))
+    print(f"gmm-train-mono: {len(ali)} alignments, "
+          f"{am.total_gauss()} gaussians", file=sys.stderr)
+    return 0
+
+
+def cmd_gmm_align(argv: List[str]) -> int:
+    """Viterbi alignment of features to transcripts with a trained GMM
+    (ref: gmmbin/gmm-align-compiled.cc over compile-train-graphs
+    output)."""
+    from kaldi_cnn_tpu.decode.decoder import viterbi_align
+    from kaldi_cnn_tpu.decode.graph import CompiledGraph
+    from kaldi_cnn_tpu.io.kaldi_io import ArkWriter, read_scp_dict
+    from kaldi_cnn_tpu.io.kaldi_model import read_gmm_model
+    p = argparse.ArgumentParser(prog="gmm-align")
+    p.add_argument("--beam", type=float, default=128.0)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("mdl")
+    p.add_argument("graphs_archive",
+                   help="compile-train-graphs output")
+    p.add_argument("feats_scp")
+    p.add_argument("out_ali_ark")
+    args = p.parse_args(argv)
+    tm, am = read_gmm_model(args.mdl)
+    tid2pdf = tm.trans_id_to_pdf_array()
+    graphs = read_fst_archive(args.graphs_archive)
+    feats = read_scp_dict(args.feats_scp)
+    n_done, n_fail = 0, 0
+    with ArkWriter(args.out_ali_ark) as w:
+        for utt in sorted(feats):
+            if utt not in graphs:
+                n_fail += 1
+                continue
+            g = CompiledGraph(graphs[utt], tid2pdf)
+            ll = am.loglikes(feats[utt])
+            ali = viterbi_align(g, ll, acoustic_scale=args.acoustic_scale,
+                                beam=args.beam)
+            if ali is None:
+                n_fail += 1
+                continue
+            w.write(utt, np.asarray(ali, np.int32))
+            n_done += 1
+    print(f"gmm-align: {n_done} done, {n_fail} failed", file=sys.stderr)
+    return 0 if n_done > 0 else 1
+
+
+def cmd_nnet_get_egs(argv: List[str]) -> int:
+    """Spliced frame chunks + pdf labels -> egs.npz (ref:
+    nnet2bin/nnet-get-egs.cc + nnet-shuffle-egs)."""
+    from kaldi_cnn_tpu.core.rng import np_rng
+    from kaldi_cnn_tpu.io.kaldi_io import read_scp_dict, read_vec_int_ark
+    from kaldi_cnn_tpu.io.kaldi_model import read_gmm_model
+    from kaldi_cnn_tpu.train.egs import Egs
+    p = argparse.ArgumentParser(prog="nnet-get-egs")
+    p.add_argument("--left-context", type=int, default=4)
+    p.add_argument("--right-context", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("mdl", help="GMM .mdl supplying the tid->pdf map")
+    p.add_argument("feats_scp")
+    p.add_argument("ali_ark")
+    p.add_argument("out_egs")
+    args = p.parse_args(argv)
+    tm, _ = read_gmm_model(args.mdl)
+    tid2pdf = tm.trans_id_to_pdf_array()
+    feats = read_scp_dict(args.feats_scp)
+    ali = {u: np.asarray(a, np.int64)
+           for u, a in read_vec_int_ark(args.ali_ark)}
+    xs, ys = [], []
+    for utt in sorted(feats):
+        if utt not in ali:
+            continue
+        f = feats[utt]
+        a = ali[utt]
+        if len(a) != f.shape[0]:
+            continue
+        T = f.shape[0]
+        idx = np.clip(
+            np.arange(T)[:, None] + np.arange(
+                -args.left_context, args.right_context + 1)[None],
+            0, T - 1)
+        xs.append(f[idx].reshape(T, -1))
+        ys.append(tid2pdf[a])
+    x = np.concatenate(xs).astype(np.float32)
+    y = np.concatenate(ys).astype(np.int32)
+    perm = np_rng(args.seed, "cli_egs_shuffle").permutation(len(y))
+    Egs(x[perm], y[perm], np.ones(len(y), np.float32)).save(args.out_egs)
+    print(f"nnet-get-egs: {len(y)} examples, dim {x.shape[1]}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_nnet_train(argv: List[str]) -> int:
+    """Train a p-norm DNN AM on egs and write the .mdl (ref:
+    nnet2bin/nnet-train-simple.cc + nnet-am-init + nnet-adjust-priors
+    collapsed into one verb; NG-SGD on by default like the scripts)."""
+    from kaldi_cnn_tpu.io.kaldi_model import read_gmm_model, write_am_nnet
+    from kaldi_cnn_tpu.models.factory import PnormDnnConfig, make_pnorm_dnn
+    from kaldi_cnn_tpu.train.egs import Egs
+    from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
+    p = argparse.ArgumentParser(prog="nnet-train")
+    p.add_argument("--num-epochs", type=int, default=8)
+    p.add_argument("--minibatch-size", type=int, default=256)
+    p.add_argument("--initial-learning-rate", type=float, default=0.02)
+    p.add_argument("--final-learning-rate", type=float, default=0.004)
+    p.add_argument("--num-hidden-layers", type=int, default=2)
+    p.add_argument("--pnorm-input-dim", type=int, default=400)
+    p.add_argument("--pnorm-output-dim", type=int, default=80)
+    p.add_argument("--valid-fraction", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("gmm_mdl", help="bootstrap GMM .mdl (transition "
+                                   "model + num-pdfs source)")
+    p.add_argument("egs")
+    p.add_argument("out_mdl")
+    args = p.parse_args(argv)
+    tm, _ = read_gmm_model(args.gmm_mdl)
+    egs_all = Egs.load(args.egs)
+    n_valid = max(int(len(egs_all) * args.valid_fraction), 128)
+    egs_valid = Egs(egs_all.x[:n_valid], egs_all.y[:n_valid],
+                    egs_all.weights[:n_valid])
+    egs_train = Egs(egs_all.x[n_valid:], egs_all.y[n_valid:],
+                    egs_all.weights[n_valid:])
+    cfg = PnormDnnConfig(
+        input_dim=egs_train.x.shape[1],
+        num_hidden_layers=args.num_hidden_layers,
+        pnorm_input_dim=args.pnorm_input_dim,
+        pnorm_output_dim=args.pnorm_output_dim,
+        num_pdfs=tm.num_pdfs)
+    net = make_pnorm_dnn(cfg)
+    params, _ = train_nnet(
+        net, egs_train, egs_valid,
+        TrainConfig(num_epochs=args.num_epochs,
+                    minibatch_size=args.minibatch_size,
+                    initial_learning_rate=args.initial_learning_rate,
+                    final_learning_rate=args.final_learning_rate,
+                    seed=args.seed))
+    counts = np.bincount(egs_train.y, minlength=tm.num_pdfs) + 0.5
+    priors = counts / counts.sum()
+    write_am_nnet(args.out_mdl, tm, net, params, priors)
+    print(f"nnet-train: {len(egs_train)} egs, {args.num_epochs} epochs "
+          f"-> {args.out_mdl}", file=sys.stderr)
+    return 0
+
+
+def cmd_mkgraph(argv: List[str]) -> int:
+    """lang + ARPA LM -> HCLG text FST (ref: utils/mkgraph.sh)."""
+    from kaldi_cnn_tpu.lang.hclg import make_hclg_from_arpa
+    p = argparse.ArgumentParser(prog="mkgraph")
+    p.add_argument("lang_dir")
+    p.add_argument("arpa", help=".arpa text LM")
+    p.add_argument("out_fst")
+    args = p.parse_args(argv)
+    lang = _load_lang(args.lang_dir)
+    hclg = make_hclg_from_arpa(lang, open(args.arpa).read())
+    with open(args.out_fst, "w") as f:
+        hclg.write_text(f)
+    print(f"mkgraph: HCLG with {hclg.num_states} states, "
+          f"{hclg.num_arcs} arcs", file=sys.stderr)
+    return 0
+
+
+def cmd_latgen_faster(argv: List[str]) -> int:
+    """Lattice-generating decode with a GMM or nnet AM (ref:
+    gmmbin/gmm-latgen-faster.cc, nnet2bin/nnet-latgen-faster.cc).
+    Writes lattices (npz) and one-best transcripts."""
+    from kaldi_cnn_tpu.decode.decoder import lattice_decode
+    from kaldi_cnn_tpu.decode.graph import CompiledGraph
+    from kaldi_cnn_tpu.decode.lattice import save_lattices, shortest_path
+    from kaldi_cnn_tpu.io.kaldi_io import read_scp_dict
+    from kaldi_cnn_tpu.lang.fst import Fst
+    p = argparse.ArgumentParser(prog="latgen-faster")
+    p.add_argument("--beam", type=float, default=16.0)
+    p.add_argument("--lattice-beam", type=float, default=8.0)
+    p.add_argument("--max-active", type=int, default=7000)
+    p.add_argument("--acoustic-scale", type=float, default=0.1)
+    p.add_argument("--word-ins-penalty", type=float, default=0.0)
+    p.add_argument("--lang-dir", required=True,
+                   help="for words.txt + transition model")
+    p.add_argument("mdl", help=".mdl — GMM or am-nnet, sniffed")
+    p.add_argument("graph_fst", help="mkgraph output")
+    p.add_argument("feats_scp")
+    p.add_argument("out_lats")
+    p.add_argument("out_text")
+    args = p.parse_args(argv)
+
+    from kaldi_cnn_tpu.lang.symbols import SymbolTable
+    words = SymbolTable.read(os.path.join(args.lang_dir, "words.txt"))
+    tm, scorer = _load_am(args.mdl)
+    with open(args.graph_fst) as f:
+        hclg = Fst.read_text(f)
+    graph = CompiledGraph(hclg, tm.trans_id_to_pdf_array())
+    feats = read_scp_dict(args.feats_scp)
+    lats, hyps = {}, {}
+    for utt in sorted(feats):
+        ll = scorer(feats[utt])
+        lat = lattice_decode(graph, ll,
+                             acoustic_scale=args.acoustic_scale,
+                             beam=args.beam,
+                             lattice_beam=args.lattice_beam,
+                             max_active=args.max_active)
+        lats[utt] = lat
+        _, wids, _ = shortest_path(lat, 1.0, args.acoustic_scale,
+                                   args.word_ins_penalty)
+        hyps[utt] = " ".join(words.sym(int(w)) for w in wids)
+    save_lattices(args.out_lats, lats)
+    with open(args.out_text, "w") as f:
+        for utt in sorted(hyps):
+            f.write(f"{utt} {hyps[utt]}\n".rstrip() + "\n")
+    print(f"latgen-faster: decoded {len(lats)} utterances",
+          file=sys.stderr)
+    return 0
+
+
+def _load_am(mdl_path: str):
+    """Sniff GMM vs am-nnet .mdl; return (trans_model,
+    loglikes_fn(feats)->[T,num_pdfs])."""
+    from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet, read_gmm_model
+    try:
+        tm, nnet, params, priors = read_am_nnet(mdl_path)
+        from kaldi_cnn_tpu.models.nnet import AmNnet
+        am = AmNnet(nnet, tm.num_pdfs)
+        am.priors = np.asarray(priors, np.float64)
+        return tm, lambda f: am.loglikes(params, f)
+    except (ValueError, KeyError, EOFError):
+        tm, am = read_gmm_model(mdl_path)
+        return tm, am.loglikes
+
+
+TRAIN_VERBS = {
+    "prepare-lang": cmd_prepare_lang,
+    "compile-train-graphs": cmd_compile_train_graphs,
+    "gmm-train-mono": cmd_gmm_train_mono,
+    "gmm-align": cmd_gmm_align,
+    "nnet-get-egs": cmd_nnet_get_egs,
+    "nnet-train": cmd_nnet_train,
+    "mkgraph": cmd_mkgraph,
+    "latgen-faster": cmd_latgen_faster,
+}

@@ -120,6 +120,32 @@ class TopKGraph:
 
         self.final = np.asarray(g.final, np.float32)
         self.eps_depth = self._eps_depth()
+        self._build_lookahead()
+
+    def _build_lookahead(self, W: int = 2) -> None:
+        """Per-state acoustic-lookahead table: up to W outgoing emitting
+        (weight, pdf) pairs per state, used to RANK tokens during top-K
+        pruning by cost + min_a(w_a + scale*am_next[pdf_a]).  States
+        whose out-degree exceeds W (hubs) or is zero get an optimistic
+        0-cost sentinel slot (never wrongly evicted).  True Viterbi costs
+        are untouched — only survival under K/beam pressure changes,
+        which is what lets acoustically-supported word-start tokens live
+        through an LM hub fan-out that K cannot cover (the reference has
+        the same eviction problem in GetCutoff when active >> max-active;
+        ref: lattice-faster-decoder.cc adaptive-beam logic)."""
+        S = self.num_states
+        deg = (self.e_off[1:] - self.e_off[:-1]).astype(np.int64)
+        la_pdf = np.full((S, W + 1), -1, np.int32)   # -1 = sentinel slot
+        la_w = np.full((S, W + 1), BIG, np.float32)
+        for j in range(W):
+            has = deg > j
+            idx = self.e_off[:-1][has] + j
+            la_pdf[has, j] = self.e_pdf[idx]
+            la_w[has, j] = self.e_w[idx]
+        optimistic = (deg == 0) | (deg > W)
+        la_w[optimistic, W] = 0.0
+        self.la_pdf = la_pdf
+        self.la_w = la_w
 
     def _eps_depth(self, cap: int = 64) -> int:
         if len(self.n_src) == 0:
@@ -147,11 +173,17 @@ class TopKGraph:
 # Device-side primitives (single utterance; vmapped over batch)
 # ---------------------------------------------------------------------------
 
-def _recombine_topk(dst, cost, payloads, k, beam):
+def _recombine_topk(dst, cost, payloads, k, beam, la_of=None):
     """Hash-map insert + beam + max-active in one shot: sort candidates
     by (dst, cost), keep the cheapest per dst, beam-cut, take top-K, and
     restore state-sorted order (ref: ProcessEmitting's token map +
-    PruneActiveTokens)."""
+    PruneActiveTokens).
+
+    ``la_of``: optional acoustic-lookahead ranking (states -> extra
+    ranking cost).  Per-dst recombination and the stored costs remain
+    exact true costs; only the top-K *selection* uses cost + lookahead,
+    so tokens with acoustic support next frame out-survive LM-only hub
+    fan-out (TopKGraph._build_lookahead)."""
     ops = jax.lax.sort((dst, cost) + tuple(payloads), num_keys=2)
     sdst, scost = ops[0], ops[1]
     dup = jnp.concatenate(
@@ -160,7 +192,9 @@ def _recombine_topk(dst, cost, payloads, k, beam):
     bad = dup | (scost > cutoff) | (sdst == INVALID)
     scost = jnp.where(bad, BIG, scost)
     sdst = jnp.where(bad, INVALID, sdst)
-    _, idx = jax.lax.top_k(-scost, k)
+    rank = scost if la_of is None else \
+        jnp.where(bad, BIG, scost + la_of(sdst))
+    _, idx = jax.lax.top_k(-rank, k)
     sel = tuple(o[idx] for o in (sdst, scost) + ops[2:])
     # restore the state-sorted invariant (dedup marking above happened
     # after the first sort, so selected entries are not in dst order)
@@ -217,6 +251,8 @@ class TpuTopKDecoder:
             "n_w": jnp.asarray(g.n_w),
             "e_is_hub": jnp.asarray(g.e_is_hub),
             "n_is_hub": jnp.asarray(g.n_is_hub),
+            "la_pdf": jnp.asarray(g.la_pdf),
+            "la_w": jnp.asarray(g.la_w),
         }
         # dense hub arc tables (see TopKGraph docstring)
         if self.He:
@@ -289,13 +325,31 @@ class TpuTopKDecoder:
         return cand
 
     # -- one frame ---------------------------------------------------------
-    def _eps_fixpoint(self, fs, fc):
+    def _la_fn(self, am_next):
+        """Acoustic-lookahead ranking closure over the NEXT frame's raw
+        acoustic costs (see TopKGraph._build_lookahead)."""
+        am_ext = jnp.concatenate(
+            [self.acoustic_scale * am_next,
+             jnp.zeros((1,), am_next.dtype)])
+        P = am_next.shape[0]
+        la_pdf, la_w = self.d["la_pdf"], self.d["la_w"]
+
+        def la(states):
+            s = jnp.where(states == INVALID, 0, states)
+            pdfs = la_pdf[s]
+            idx = jnp.where((pdfs < 0) | (pdfs >= P), P, pdfs)
+            v = jnp.min(la_w[s] + am_ext[idx], axis=-1)
+            return jnp.where(states == INVALID, np.float32(0.0),
+                             jnp.minimum(v, BIG))
+        return la
+
+    def _eps_fixpoint(self, fs, fc, la_of=None):
         for _ in range(self.eps_iters):
             arc, cdst, ccost, _, _ = self._expand_eps(fs, fc)
             alldst = jnp.concatenate([fs, cdst])
             allcost = jnp.concatenate([fc, ccost])
             fs, fc = _recombine_topk(alldst, allcost, (), self.K,
-                                     self.beam)
+                                     self.beam, la_of)
         return fs, fc
 
     def _resolve_bp(self, fs, fc, es, ec, e_bp_arc, e_bp_prev):
@@ -375,7 +429,7 @@ class TpuTopKDecoder:
             outs.append(v)
         return tuple(outs) + (cnt,)
 
-    def _frame(self, prev_fs, prev_fc, am_row):
+    def _frame(self, prev_fs, prev_fc, am_row, am_next_row):
         arc, cdst, ccost, srcslot, ok = self._expand_emit(
             prev_fs, prev_fc)
         ccost = jnp.where(ok, ccost + self.acoustic_scale
@@ -384,7 +438,7 @@ class TpuTopKDecoder:
         es, ec, e_arc, e_prev = _recombine_topk(
             cdst, ccost, (arc, srcslot), self.K, self.beam)
         cutoff = jnp.min(ec) + self.beam
-        fs, fc = self._eps_fixpoint(es, ec)
+        fs, fc = self._eps_fixpoint(es, ec, self._la_fn(am_next_row))
         bp_arc, bp_prev = self._resolve_bp(fs, fc, es, ec, e_arc, e_prev)
         outs = (fs, fc, bp_arc, bp_prev)
         if self.A_lat:
@@ -399,34 +453,42 @@ class TpuTopKDecoder:
         B, T, P = am_batch.shape
         K = self.K
 
-        s0 = jnp.full((K,), INVALID, jnp.int32).at[0].set(self.g.start)
-        c0 = jnp.full((K,), BIG).at[0].set(0.0)
-        fs0, fc0 = self._eps_fixpoint(s0, c0)
-        root_arc = jnp.full((K,), -1, jnp.int32)
-        bp0_arc, bp0_prev = self._resolve_bp(
-            fs0, fc0, s0, c0, root_arc, root_arc)
-        init = (fs0, fc0, bp0_arc, bp0_prev)
-        if self.A_lat:
-            cutoff0 = jnp.min(fc0) + self.beam
-            _, n_rec0 = self._lattice_records(
-                jnp.full((K,), INVALID, jnp.int32), jnp.full((K,), BIG),
-                fs0, fc0, jnp.zeros((P,)), cutoff0)
-        frame_b = jax.vmap(self._frame, in_axes=(0, 0, 0))
+        def init_level(am_row0):
+            """Start token + eps closure, lookahead-ranked by the first
+            frame's acoustics (per utterance, so vmapped over batch)."""
+            s0 = jnp.full((K,), INVALID, jnp.int32).at[0].set(self.g.start)
+            c0 = jnp.full((K,), BIG).at[0].set(0.0)
+            fs0, fc0 = self._eps_fixpoint(s0, c0, self._la_fn(am_row0))
+            root_arc = jnp.full((K,), -1, jnp.int32)
+            bp0_arc, bp0_prev = self._resolve_bp(
+                fs0, fc0, s0, c0, root_arc, root_arc)
+            init = (fs0, fc0, bp0_arc, bp0_prev)
+            if self.A_lat:
+                cutoff0 = jnp.min(fc0) + self.beam
+                _, n_rec0 = self._lattice_records(
+                    jnp.full((K,), INVALID, jnp.int32),
+                    jnp.full((K,), BIG), fs0, fc0, jnp.zeros((P,)),
+                    cutoff0)
+                return init, n_rec0
+            return init, ()
 
-        def step(carry, am_row):
+        initB, n_rec0B = jax.vmap(init_level)(am_batch[:, 0])
+        frame_b = jax.vmap(self._frame, in_axes=(0, 0, 0, 0))
+
+        def step(carry, x):
             fs, fc = carry
-            outs = frame_b(fs, fc, am_row)
+            am_row, am_next_row = x
+            outs = frame_b(fs, fc, am_row, am_next_row)
             return (outs[0], outs[1]), outs
 
-        initB = tuple(jnp.broadcast_to(x, (B,) + x.shape) for x in init)
+        am_t = jnp.swapaxes(am_batch, 0, 1)            # [T, B, P]
+        am_nx = jnp.concatenate([am_t[1:], am_t[-1:]], axis=0)
         (_, _), hist = jax.lax.scan(
-            step, (initB[0], initB[1]),
-            jnp.swapaxes(am_batch, 0, 1))
+            step, (initB[0], initB[1]), (am_t, am_nx))
         out = {"init": initB, "fs": hist[0], "fc": hist[1],
                "bp_arc": hist[2], "bp_prev": hist[3]}
         if self.A_lat:
-            out["init_eps"] = tuple(
-                jnp.broadcast_to(x, (B,) + x.shape) for x in n_rec0)
+            out["init_eps"] = n_rec0B
             out["e_rec"] = hist[4:8]
             out["n_rec"] = hist[8:12]
         return out

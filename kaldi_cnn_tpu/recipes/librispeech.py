@@ -46,6 +46,7 @@ def run(
     average_every: int = 0,
     mh: Optional[MultihostConfig] = None,
     metrics: Optional[MetricsWriter] = None,
+    corpus=None,
 ) -> Dict:
     import jax
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
@@ -59,9 +60,12 @@ def run(
                 len(mesh.devices.flatten()), mh.process_id,
                 mh.num_processes)
 
-    lex = synthetic.digits_lexicon()
-    wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
-    corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
+    if corpus is None:
+        lex = synthetic.digits_lexicon()
+        wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
+        corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
+    else:
+        lex, wp = corpus.lexicon, corpus.word_probs
     train, test = corpus.split(0.15)
     train, dev = train.split(0.1)
 

@@ -110,6 +110,7 @@ def run(
     nnet_epochs: int = 25,
     metrics: Optional[MetricsWriter] = None,
     use_pallas_features: bool = False,
+    corpus=None,
 ) -> Dict:
     import jax
     from kaldi_cnn_tpu.models.factory import PnormDnnConfig, make_pnorm_dnn
@@ -117,9 +118,12 @@ def run(
     from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
 
-    lex = synthetic.digits_lexicon()
-    wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
-    corpus = synthetic.make_corpus(lex, wp, num_utts, 1, 4, seed)
+    if corpus is None:
+        lex = synthetic.digits_lexicon()
+        wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
+        corpus = synthetic.make_corpus(lex, wp, num_utts, 1, 4, seed)
+    else:
+        lex, wp = corpus.lexicon, corpus.word_probs
     traindev, test = corpus.split(0.2)
     train, dev = traindev.split(0.15)
     logger.info("corpus: %d train / %d dev / %d test",

@@ -110,16 +110,27 @@ def run(
     num_filters: int = 64,
     use_pallas: bool = False,
     metrics: Optional[MetricsWriter] = None,
+    corpus=None,
+    ext_alignments: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict:
+    """corpus: any object with the SyntheticCorpus shape (e.g. from
+    recipes.datadir.corpus_from_data_dir); defaults to the synthetic
+    digits corpus.  ext_alignments: externally produced transition-id
+    alignments (e.g. the reference's ali ark via
+    datadir.load_alignments_ark) used instead of the GMM bootstrap for
+    differential testing."""
     import jax
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
     from kaldi_cnn_tpu.train.egs import Egs
     from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
 
-    lex = synthetic.digits_lexicon()
-    wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
-    corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
+    if corpus is None:
+        lex = synthetic.digits_lexicon()
+        wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
+        corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
+    else:
+        lex, wp = corpus.lexicon, corpus.word_probs
     traindev, test = corpus.split(0.2)
     train, dev = traindev.split(0.15)
     logger.info("corpus: %d train / %d dev / %d test",
@@ -150,6 +161,11 @@ def run(
 
     tid2pdf = tri.trans_model.trans_id_to_pdf_array()
     num_pdfs = tri.trans_model.num_pdfs
+    if ext_alignments is not None:
+        # differential mode: external (reference-produced) alignments
+        # replace the bootstrap's (ref: steps/nnet2/get_egs.sh --alidir)
+        ali1 = ext_alignments
+        logger.info("using %d external alignments", len(ali1))
     egs_all = make_cnn_egs(vol_tr, ali1, tid2pdf, left, right, seed)
     n_valid = max(len(egs_all) // 20, 256)
     egs_valid = Egs(egs_all.x[:n_valid], egs_all.y[:n_valid],
@@ -217,6 +233,24 @@ def run(
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--data-dir", default=None,
+                    help="Kaldi data dir (wav.scp/text/utt2spk); "
+                         "default: synthetic corpus")
+    ap.add_argument("--lexicon", default=None)
+    ap.add_argument("--ali-ark", default=None,
+                    help="external transition-id alignments ark")
+    a = ap.parse_args()
+    corpus = None
+    if a.data_dir:
+        from kaldi_cnn_tpu.recipes.datadir import corpus_from_data_dir
+        corpus = corpus_from_data_dir(a.data_dir, a.lexicon)
+    ext = None
+    if a.ali_ark:
+        from kaldi_cnn_tpu.recipes.datadir import load_alignments_ark
+        ext = load_alignments_ark(a.ali_ark)
+    res = run(use_pallas=a.pallas, corpus=corpus, ext_alignments=ext)
     import sys
-    res = run(use_pallas="--pallas" in sys.argv)
     sys.exit(0 if res["wer"] < 10.0 else 1)

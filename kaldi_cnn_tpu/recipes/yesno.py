@@ -50,10 +50,15 @@ def run(
     seed: int = 17,
     use_pallas_features: bool = False,
     metrics: Optional[MetricsWriter] = None,
+    corpus=None,
 ) -> Dict:
-    lex = synthetic.yesno_lexicon()
-    word_probs = {"yes": 0.5, "no": 0.5}
-    corpus = synthetic.make_corpus(lex, word_probs, num_utts, 1, 3, seed)
+    if corpus is None:
+        lex = synthetic.yesno_lexicon()
+        word_probs = {"yes": 0.5, "no": 0.5}
+        corpus = synthetic.make_corpus(lex, word_probs, num_utts, 1, 3,
+                                       seed)
+    else:
+        lex, word_probs = corpus.lexicon, corpus.word_probs
     traindev, test = corpus.split(0.25)
     train, dev = traindev.split(0.2)
     logger.info("corpus: %d train / %d dev / %d test utts",
@@ -115,6 +120,16 @@ def run(
 
 
 if __name__ == "__main__":
+    import argparse
     import sys
-    res = run(use_pallas_features="--pallas" in sys.argv)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--lexicon", default=None)
+    a = ap.parse_args()
+    corpus = None
+    if a.data_dir:
+        from kaldi_cnn_tpu.recipes.datadir import corpus_from_data_dir
+        corpus = corpus_from_data_dir(a.data_dir, a.lexicon)
+    res = run(use_pallas_features=a.pallas, corpus=corpus)
     sys.exit(0 if res["wer"] == 0.0 else 1)

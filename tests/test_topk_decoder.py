@@ -146,7 +146,10 @@ def test_topk_huge_graph_million_arcs():
     assert g.num_states >= 100_000
     assert g.num_emitting_arcs + g.num_eps_arcs >= 1_000_000
     ll = sample_loglikes(g, P, T=20, seed=5)
-    dec = TpuTopKDecoder(g, beam=60.0, max_active=4096,
+    # K is ~3% of the states and ~18% of the hub fan-out: survival of
+    # the true path through the 90k-arc LM hub relies on the decoder's
+    # acoustic-lookahead ranking (TopKGraph._build_lookahead)
+    dec = TpuTopKDecoder(g, beam=60.0, max_active=16384,
                          acoustic_scale=1.0)
     ((tids, words, cost),) = dec.decode_batch([ll])
     tids_h, words_h, cost_h = viterbi_decode(
