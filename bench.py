@@ -37,6 +37,126 @@ MINIBATCH = 4096
 WARMUP = 3
 STEPS = 30  # at mb 4096
 
+# TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM
+# (public spec sheet numbers; the chip this image exposes).
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5": 459e12,
+              "TPU v4": 275e12}
+PEAK_HBM = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9}
+
+
+def _peaks():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "")
+    for k in PEAK_FLOPS:
+        if kind.startswith(k):
+            return PEAK_FLOPS[k], PEAK_HBM[k]
+    return None, None
+
+
+def _sync(out):
+    leaves = jax.tree_util.tree_leaves(out)
+    jax.device_get(jnp.sum(leaves[0].ravel()[:1]))
+
+
+def _time_fn(fn, *args, steps: int = 20, warmup: int = 3) -> float:
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def _flops_bytes(jfn, *args):
+    """XLA's own cost analysis of the compiled executable (flops, HBM
+    bytes); None if the backend doesn't expose it."""
+    try:
+        ca = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return ca.get("flops"), ca.get("bytes accessed")
+    except Exception:
+        return None, None
+
+
+def _entry(name, ms, flops, nbytes, peak_f, peak_b):
+    e = {"ms": round(ms * 1e3, 4)}
+    if flops:
+        e["gflops"] = round(flops / 1e9, 3)
+        if peak_f:
+            e["mfu"] = round(flops / ms / peak_f, 4)
+    if nbytes:
+        e["mb_accessed"] = round(nbytes / 1e6, 2)
+        if peak_b:
+            e["hbm_frac"] = round(nbytes / ms / peak_b, 4)
+    if "mfu" in e or "hbm_frac" in e:
+        e["roofline_frac"] = round(max(e.get("mfu", 0.0),
+                                       e.get("hbm_frac", 0.0)), 4)
+    return e
+
+
+def roofline() -> dict:
+    """Per-kernel speed-of-light accounting at flagship shapes
+    (SURVEY.md §7 step 10; BASELINE.json 'speed-of-light on the
+    conv/maxpool and STFT kernels').  roofline_frac = achieved fraction
+    of the binding resource (MXU flops or HBM bandwidth)."""
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.models.components import (
+        Conv2DComponent, Maxpooling3DComponent)
+    from kaldi_cnn_tpu.models.factory import ConvnetConfig
+    from kaldi_cnn_tpu.ops.conv_pallas import (
+        conv2d_maxpool_fused, conv2d_pallas)
+    from kaldi_cnn_tpu.ops.fbank_pallas import fbank_pallas
+
+    peak_f, peak_b = _peaks()
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # ---- fbank / STFT (120 s of 16 kHz audio = 12000 frames)
+    opts = F.FbankOptions()
+    opts.frame_opts.dither = 0.0
+    wave = jnp.asarray(rng.normal(size=16000 * 120).astype(np.float32)
+                       * 1000)
+    f_pal = jax.jit(lambda w: fbank_pallas(w, opts))
+    f_xla = jax.jit(lambda w: F.compute_fbank(w, opts))
+    for name, fn in (("fbank_pallas", f_pal), ("fbank_xla", f_xla)):
+        ms = _time_fn(fn, wave)
+        fl, by = _flops_bytes(fn, wave)
+        out[name] = _entry(name, ms, fl, by, peak_f, peak_b)
+
+    # ---- conv2d at the flagship shape, flagship minibatch
+    cfg = ConvnetConfig()
+    conv = Conv2DComponent(cfg.in_t, cfg.in_f, cfg.in_c, cfg.filt_t,
+                           cfg.filt_f, cfg.num_filters)
+    p = conv.init(jax.random.PRNGKey(0))
+    B = MINIBATCH
+    x = jnp.asarray(rng.normal(size=(B, conv.input_dim)), jnp.float32)
+    conv_flops = 2.0 * B * conv.num_patches * conv.patch_dim \
+        * conv.num_filters
+    c_xla = jax.jit(lambda x: conv.forward(p, x)[0])
+    c_pal = jax.jit(lambda x: conv2d_pallas(x, p["w"], p["b"], conv))
+    for name, fn in (("conv_xla", c_xla), ("conv_pallas", c_pal)):
+        ms = _time_fn(fn, x)
+        fl, by = _flops_bytes(fn, x)
+        out[name] = _entry(name, ms, fl or conv_flops, by, peak_f, peak_b)
+
+    # ---- conv + 3-D maxpool: XLA unfused chain vs fused Pallas kernel
+    pool = Maxpooling3DComponent(conv.out_t, conv.out_f,
+                                 conv.num_filters, cfg.pool_t,
+                                 cfg.pool_f, cfg.pool_c)
+    cp_xla = jax.jit(lambda x: pool.forward({}, conv.forward(p, x)[0])[0])
+    cp_pal = jax.jit(lambda x: conv2d_maxpool_fused(
+        x, p["w"], p["b"], conv, cfg.pool_t, cfg.pool_f))
+    for name, fn in (("conv_maxpool_xla", cp_xla),
+                     ("conv_maxpool_pallas", cp_pal)):
+        ms = _time_fn(fn, x)
+        fl, by = _flops_bytes(fn, x)
+        out[name] = _entry(name, ms, fl or conv_flops, by, peak_f, peak_b)
+    return out
+
 
 def main() -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -65,12 +185,26 @@ def main() -> None:
     dt = time.perf_counter() - t0
     frames_per_s = STEPS * MINIBATCH / dt
     audio_ss = frames_per_s / FRAMES_PER_SECOND
+
+    # train-step MFU: XLA's flop count for one step / measured time
+    peak_f, peak_b = _peaks()
+    step_ms = dt / STEPS
+    fl, by = _flops_bytes(jax.jit(net.train_step), params, opt, x,
+                          labels, lr)
+    rl = {"train_step": _entry("train_step", step_ms, fl, by,
+                               peak_f, peak_b)}
+    try:
+        rl.update(roofline())
+    except Exception as e:  # roofline must never sink the headline metric
+        rl["error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec_per_chip"
                   + ("" if on_tpu else "_CPU"),
         "value": round(audio_ss, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(audio_ss / BASELINE_AUDIO_SS, 3),
+        "roofline": rl,
     }))
 
 
