@@ -143,18 +143,77 @@ def roofline() -> dict:
         fl, by = _flops_bytes(fn, x)
         out[name] = _entry(name, ms, fl or conv_flops, by, peak_f, peak_b)
 
-    # ---- conv + 3-D maxpool: XLA unfused chain vs fused Pallas kernel
+    # ---- conv + 3-D maxpool: XLA unfused chain vs the two fused
+    # Pallas generations (round-2 materialized-im2col kernel, and the
+    # round-3 implicit-GEMM kernel that assembles patches in VMEM)
+    from kaldi_cnn_tpu.ops.conv_pallas import conv2d_maxpool_implicit
     pool = Maxpooling3DComponent(conv.out_t, conv.out_f,
                                  conv.num_filters, cfg.pool_t,
                                  cfg.pool_f, cfg.pool_c)
     cp_xla = jax.jit(lambda x: pool.forward({}, conv.forward(p, x)[0])[0])
     cp_pal = jax.jit(lambda x: conv2d_maxpool_fused(
         x, p["w"], p["b"], conv, cfg.pool_t, cfg.pool_f))
+    cp_imp = jax.jit(lambda x: conv2d_maxpool_implicit(
+        x, p["w"], p["b"], conv, cfg.pool_t, cfg.pool_f))
+    # correctness gate before timing (flagship shape runs compiled
+    # here; unit tests cover it in interpret mode at small shapes)
+    ref_small = cp_xla(x[:64])
+    imp_small = cp_imp(x[:64])
+    err = float(jnp.max(jnp.abs(ref_small - imp_small)))
+    scale = float(jnp.max(jnp.abs(ref_small))) + 1e-6
+    assert err / scale < 0.02, f"implicit kernel mismatch: {err}"
     for name, fn in (("conv_maxpool_xla", cp_xla),
-                     ("conv_maxpool_pallas", cp_pal)):
+                     ("conv_maxpool_pallas", cp_pal),
+                     ("conv_maxpool_implicit", cp_imp)):
         ms = _time_fn(fn, x)
         fl, by = _flops_bytes(fn, x)
         out[name] = _entry(name, ms, fl or conv_flops, by, peak_f, peak_b)
+    return out
+
+
+def decode_bench() -> dict:
+    """Batched TPU lattice decode RTF at >=1M-arc graph scale vs the
+    host decoder (ref: nnet-latgen-faster per-utterance RTF logging;
+    VERDICT round-2 item 1 'done' bar)."""
+    from kaldi_cnn_tpu.decode.biggraph import make_big_graph, \
+        sample_loglikes
+    from kaldi_cnn_tpu.decode.decoder import lattice_decode
+    from kaldi_cnn_tpu.decode.topk_decoder import TpuTopKDecoder
+    P = 256
+    g = make_big_graph(num_words=90_000, num_pdfs=P, min_len=4,
+                       max_len=8, seed=3)
+    B, T = 4, 200
+    lls = [sample_loglikes(g, P, T=T, seed=s) for s in range(B)]
+    audio_s = B * T / FRAMES_PER_SECOND
+    out = {"graph_states": g.num_states,
+           "graph_arcs": int(g.num_emitting_arcs + g.num_eps_arcs)}
+    dec = TpuTopKDecoder(g, beam=60.0, max_active=8192,
+                         acoustic_scale=1.0, lattice_beam=8.0,
+                         lattice_arcs_per_frame=2048)
+    dec.decode_batch(lls)                      # compile
+    t0 = time.perf_counter()
+    dec.decode_batch(lls)
+    best_s = time.perf_counter() - t0
+    out["tpu_best_path"] = {"s": round(best_s, 3),
+                            "rtf": round(best_s / audio_s, 4),
+                            "audio_s": audio_s}
+    dec.decode_batch_lattice(lls, determinize=False)   # compile
+    t0 = time.perf_counter()
+    lats = dec.decode_batch_lattice(lls, determinize=False)
+    lat_s = time.perf_counter() - t0
+    out["tpu_lattice"] = {"s": round(lat_s, 3),
+                          "rtf": round(lat_s / audio_s, 4),
+                          "arcs": int(sum(l.num_arcs for l in lats))}
+    # host decoder on ONE utterance (it is serial python; extrapolate)
+    t0 = time.perf_counter()
+    lattice_decode(g, lls[0], acoustic_scale=1.0, beam=60.0,
+                   lattice_beam=8.0, max_active=8192)
+    host_s = time.perf_counter() - t0
+    out["host_lattice_1utt"] = {
+        "s": round(host_s, 3),
+        "rtf": round(host_s / (T / FRAMES_PER_SECOND), 4)}
+    out["tpu_vs_host_speedup"] = round(
+        (host_s / (T / FRAMES_PER_SECOND)) / (lat_s / audio_s), 2)
     return out
 
 
@@ -186,17 +245,36 @@ def main() -> None:
     frames_per_s = STEPS * MINIBATCH / dt
     audio_ss = frames_per_s / FRAMES_PER_SECOND
 
-    # train-step MFU: XLA's flop count for one step / measured time
+    # train-step MFU: XLA's flop count for one step / measured time,
+    # with an analytic fallback (3x forward matmul flops: fwd + dx +
+    # dw; NG preconditioner terms excluded) so MFU is always reported
     peak_f, peak_b = _peaks()
     step_ms = dt / STEPS
     fl, by = _flops_bytes(jax.jit(net.train_step), params, opt, x,
                           labels, lr)
-    rl = {"train_step": _entry("train_step", step_ms, fl, by,
-                               peak_f, peak_b)}
+    analytic = fl is None
+    if analytic:
+        fwd = 0
+        for c in net.components:
+            if hasattr(c, "num_patches"):
+                fwd += 2 * MINIBATCH * c.num_patches * c.patch_dim \
+                    * c.num_filters
+            elif getattr(c, "trainable", False) and \
+                    hasattr(c, "output_dim"):
+                fwd += 2 * MINIBATCH * c.input_dim * c.output_dim
+        fl = 3 * fwd
+    e_step = _entry("train_step", step_ms, fl, by, peak_f, peak_b)
+    if analytic:
+        e_step["flops_analytic"] = True
+    rl = {"train_step": e_step}
     try:
         rl.update(roofline())
     except Exception as e:  # roofline must never sink the headline metric
         rl["error"] = f"{type(e).__name__}: {e}"
+    try:
+        rl["decode"] = decode_bench()
+    except Exception as e:
+        rl["decode"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "train_audio_seconds_per_sec_per_chip"

@@ -221,12 +221,21 @@ def cmd_nnet_get_egs(argv: List[str]) -> int:
     ali = {u: np.asarray(a, np.int64)
            for u, a in read_vec_int_ark(args.ali_ark)}
     xs, ys = [], []
+    n_no_ali, n_len_mismatch = 0, 0
     for utt in sorted(feats):
         if utt not in ali:
+            n_no_ali += 1
             continue
         f = feats[utt]
         a = ali[utt]
         if len(a) != f.shape[0]:
+            # e.g. unspliced vs delta feats, or alignments from a
+            # different feature pipeline (the reference's nnet-get-egs
+            # logs and skips these the same way)
+            print(f"nnet-get-egs: skipping {utt}: alignment length "
+                  f"{len(a)} != {f.shape[0]} feature frames",
+                  file=sys.stderr)
+            n_len_mismatch += 1
             continue
         T = f.shape[0]
         idx = np.clip(
@@ -235,6 +244,16 @@ def cmd_nnet_get_egs(argv: List[str]) -> int:
             0, T - 1)
         xs.append(f[idx].reshape(T, -1))
         ys.append(tid2pdf[a])
+    if n_no_ali or n_len_mismatch:
+        print(f"nnet-get-egs: skipped {n_no_ali} utts without alignment, "
+              f"{n_len_mismatch} with feature/alignment length mismatch",
+              file=sys.stderr)
+    if not xs:
+        raise SystemExit(
+            "nnet-get-egs: no usable utterances — every utterance was "
+            "skipped (missing alignments or feature/alignment length "
+            "mismatch; check that feats and alignments come from the "
+            "same feature pipeline)")
     x = np.concatenate(xs).astype(np.float32)
     y = np.concatenate(ys).astype(np.int32)
     perm = np_rng(args.seed, "cli_egs_shuffle").permutation(len(y))
@@ -316,7 +335,14 @@ def cmd_mkgraph(argv: List[str]) -> int:
 def cmd_latgen_faster(argv: List[str]) -> int:
     """Lattice-generating decode with a GMM or nnet AM (ref:
     gmmbin/gmm-latgen-faster.cc, nnet2bin/nnet-latgen-faster.cc).
-    Writes lattices (npz) and one-best transcripts."""
+    Writes lattices (npz) and one-best transcripts.
+
+    The default decode path is the batched TPU top-K beam search with
+    on-device lattice emission + word-level determinization
+    (decode/topk_decoder.py) — acoustic scoring AND token passing both
+    on-device; ``--host-decode`` falls back to the host
+    lattice decoder (the correctness baseline)."""
+    import time
     from kaldi_cnn_tpu.decode.decoder import lattice_decode
     from kaldi_cnn_tpu.decode.graph import CompiledGraph
     from kaldi_cnn_tpu.decode.lattice import save_lattices, shortest_path
@@ -328,6 +354,11 @@ def cmd_latgen_faster(argv: List[str]) -> int:
     p.add_argument("--max-active", type=int, default=7000)
     p.add_argument("--acoustic-scale", type=float, default=0.1)
     p.add_argument("--word-ins-penalty", type=float, default=0.0)
+    p.add_argument("--host-decode", action="store_true",
+                   help="decode per-utterance on the host instead of "
+                        "the batched TPU decoder")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lattice-arcs-per-frame", type=int, default=1024)
     p.add_argument("--lang-dir", required=True,
                    help="for words.txt + transition model")
     p.add_argument("mdl", help=".mdl — GMM or am-nnet, sniffed")
@@ -344,15 +375,27 @@ def cmd_latgen_faster(argv: List[str]) -> int:
         hclg = Fst.read_text(f)
     graph = CompiledGraph(hclg, tm.trans_id_to_pdf_array())
     feats = read_scp_dict(args.feats_scp)
-    lats, hyps = {}, {}
-    for utt in sorted(feats):
-        ll = scorer(feats[utt])
-        lat = lattice_decode(graph, ll,
-                             acoustic_scale=args.acoustic_scale,
-                             beam=args.beam,
-                             lattice_beam=args.lattice_beam,
-                             max_active=args.max_active)
-        lats[utt] = lat
+    t0 = time.perf_counter()
+    lls = {utt: np.asarray(scorer(feats[utt]), np.float32)
+           for utt in sorted(feats)}
+    if args.host_decode:
+        lats = {utt: lattice_decode(graph, ll,
+                                    acoustic_scale=args.acoustic_scale,
+                                    beam=args.beam,
+                                    lattice_beam=args.lattice_beam,
+                                    max_active=args.max_active)
+                for utt, ll in lls.items()}
+    else:
+        from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+        lats = decode_utterances(
+            graph, lls, acoustic_scale=args.acoustic_scale,
+            beam=args.beam, lattice_beam=args.lattice_beam,
+            max_active=args.max_active,
+            lattice_arcs_per_frame=args.lattice_arcs_per_frame,
+            batch_size=args.batch_size)
+    elapsed = time.perf_counter() - t0
+    hyps = {}
+    for utt, lat in lats.items():
         _, wids, _ = shortest_path(lat, 1.0, args.acoustic_scale,
                                    args.word_ins_penalty)
         hyps[utt] = " ".join(words.sym(int(w)) for w in wids)
@@ -360,7 +403,11 @@ def cmd_latgen_faster(argv: List[str]) -> int:
     with open(args.out_text, "w") as f:
         for utt in sorted(hyps):
             f.write(f"{utt} {hyps[utt]}\n".rstrip() + "\n")
-    print(f"latgen-faster: decoded {len(lats)} utterances",
+    audio_s = sum(ll.shape[0] for ll in lls.values()) / 100.0
+    rtf = elapsed / max(audio_s, 1e-9)
+    print(f"latgen-faster: decoded {len(lats)} utterances "
+          f"({'host' if args.host_decode else 'tpu'} path, "
+          f"{audio_s:.1f} audio-s in {elapsed:.2f}s, RTF {rtf:.4f})",
           file=sys.stderr)
     return 0
 

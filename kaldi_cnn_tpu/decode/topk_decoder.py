@@ -40,7 +40,7 @@ frame (``_host_fix``).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,15 +126,21 @@ class TopKGraph:
         """Per-state acoustic-lookahead table: up to W outgoing emitting
         (weight, pdf) pairs per state, used to RANK tokens during top-K
         pruning by cost + min_a(w_a + scale*am_next[pdf_a]).  States
-        whose out-degree exceeds W (hubs) or is zero get an optimistic
-        0-cost sentinel slot (never wrongly evicted).  True Viterbi costs
-        are untouched — only survival under K/beam pressure changes,
-        which is what lets acoustically-supported word-start tokens live
+        whose out-degree exceeds W (hubs), is zero, or that also have
+        epsilon out-arcs get an optimistic 0-cost sentinel slot (never
+        wrongly evicted: a state with 1-2 emitting arcs plus eps
+        out-arcs — e.g. a word-end state feeding LM backoff through a
+        non-hub eps chain — must not be ranked purely by its emitting
+        arcs' next-frame acoustics, or the eps fixpoint can evict tokens
+        whose best continuation is epsilon).  True Viterbi costs are
+        untouched — only survival under K/beam pressure changes, which
+        is what lets acoustically-supported word-start tokens live
         through an LM hub fan-out that K cannot cover (the reference has
         the same eviction problem in GetCutoff when active >> max-active;
         ref: lattice-faster-decoder.cc adaptive-beam logic)."""
         S = self.num_states
         deg = (self.e_off[1:] - self.e_off[:-1]).astype(np.int64)
+        eps_deg = (self.n_off[1:] - self.n_off[:-1]).astype(np.int64)
         la_pdf = np.full((S, W + 1), -1, np.int32)   # -1 = sentinel slot
         la_w = np.full((S, W + 1), BIG, np.float32)
         for j in range(W):
@@ -142,7 +148,7 @@ class TopKGraph:
             idx = self.e_off[:-1][has] + j
             la_pdf[has, j] = self.e_pdf[idx]
             la_w[has, j] = self.e_w[idx]
-        optimistic = (deg == 0) | (deg > W)
+        optimistic = (deg == 0) | (deg > W) | (eps_deg > 0)
         la_w[optimistic, W] = 0.0
         self.la_pdf = la_pdf
         self.la_w = la_w
@@ -234,7 +240,10 @@ class TpuTopKDecoder:
         self.g = TopKGraph(graph, max_emit_deg, max_eps_deg)
         g = self.g
         self.beam = np.float32(min(beam, 1e9))
-        self.K = int(min(max_active, g.num_states))
+        # max_active <= 0 means unlimited, like the host decoder and the
+        # reference's --max-active=0 convention
+        self.K = int(min(max_active, g.num_states)) if max_active > 0 \
+            else g.num_states
         self.acoustic_scale = np.float32(acoustic_scale)
         self.lattice_beam = float(lattice_beam)
         self.A_lat = int(lattice_arcs_per_frame)
@@ -415,19 +424,24 @@ class TpuTopKDecoder:
 
     @staticmethod
     def _compact(mask, arrays, out_len):
+        """Compacts mask-selected entries to the first ``out_len`` slots.
+        The returned count is the TRUE (unclamped) candidate count, so
+        the host can detect and report overflow (count > out_len means
+        arcs were dropped on this frame — the 'no silent caps' rule);
+        only the first min(count, out_len) array slots are valid."""
         n = mask.shape[0]
         take = min(out_len, n)
         order = jnp.argsort(jnp.logical_not(mask).astype(jnp.int8),
                             stable=True)[:take]
-        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)),
-                          np.int32(take))
+        cnt_true = jnp.sum(mask.astype(jnp.int32))
+        cnt = jnp.minimum(cnt_true, np.int32(take))
         outs = []
         for a in arrays:
             v = jnp.where(jnp.arange(take) < cnt, a[order], -1)
             if take < out_len:
                 v = jnp.pad(v, (0, out_len - take), constant_values=-1)
             outs.append(v)
-        return tuple(outs) + (cnt,)
+        return tuple(outs) + (cnt_true,)
 
     def _frame(self, prev_fs, prev_fc, am_row, am_next_row):
         arc, cdst, ccost, srcslot, ok = self._expand_emit(
@@ -493,9 +507,13 @@ class TpuTopKDecoder:
             out["n_rec"] = hist[8:12]
         return out
 
-    def _run(self, loglikes: List[np.ndarray]):
+    def _run(self, loglikes: List[np.ndarray], pad_frames: int = 0):
+        """``pad_frames``: pad the time axis up to this many frames (for
+        length-bucketed batching: one jit specialization per bucket).
+        Padding frames carry zero acoustics and are ignored by
+        assembly/backtrace, which use the recorded true lengths."""
         B = len(loglikes)
-        T = max(x.shape[0] for x in loglikes)
+        T = max(max(x.shape[0] for x in loglikes), pad_frames)
         P = loglikes[0].shape[1]
         Bp = B
         if self.mesh is not None:
@@ -519,11 +537,11 @@ class TpuTopKDecoder:
         return r, am, lengths
 
     def decode_batch(
-        self, loglikes: List[np.ndarray]
+        self, loglikes: List[np.ndarray], pad_frames: int = 0
     ) -> List[Tuple[np.ndarray, np.ndarray, float]]:
         """Best-path decode; same contract as TpuViterbiDecoder:
         per utterance (tids, word ids, total cost)."""
-        r, am, lengths = self._run(loglikes)
+        r, am, lengths = self._run(loglikes, pad_frames)
         out = []
         for b in range(len(loglikes)):
             out.append(self._best_path(r, am, int(lengths[b]), b))
@@ -537,13 +555,17 @@ class TpuTopKDecoder:
                 np.asarray(r["bp_arc"][t - 1, b]),
                 np.asarray(r["bp_prev"][t - 1, b]))
 
-    def _best_path(self, r, am, T, b):
+    def _best_path(self, r, am, T, b, use_final: bool = True):
         g = self.g
         fs, fc, _, _ = self._level(r, T, b)
         valid = fs != INVALID
         if not valid.any():
             return np.zeros(0, np.int32), np.zeros(0, np.int32), float("inf")
-        total = np.where(valid, fc + g.final[np.where(valid, fs, 0)], BIG)
+        if use_final:
+            total = np.where(valid, fc + g.final[np.where(valid, fs, 0)],
+                             BIG)
+        else:
+            total = np.where(valid, fc, BIG)
         slot = int(np.argmin(total))
         cost = float(total[slot])
         if cost >= BIG:        # no final state reached: best active token
@@ -651,13 +673,68 @@ class TpuTopKDecoder:
         return 0, -1, tids, words
 
     # -- lattice path ------------------------------------------------------
-    def decode_batch_lattice(self, loglikes: List[np.ndarray]
-                             ) -> List[Lattice]:
+    def _overflow_stats(self, r, lengths) -> Tuple[int, int]:
+        """(arcs dropped, frames affected) across the batch: per-frame
+        candidate counts above A_lat mean _compact clipped that frame's
+        lattice arcs (the 'no silent caps' rule — surfaced, not
+        swallowed)."""
+        cap = self.A_lat
+        dropped, frames = 0, 0
+        init_cnt = np.asarray(r["init_eps"][3])            # [B]
+        e_cnt = np.asarray(r["e_rec"][3])                  # [T, B]
+        n_cnt = np.asarray(r["n_rec"][3])                  # [T, B]
+        for b, T in enumerate(lengths):
+            cnts = np.concatenate(
+                [init_cnt[b:b + 1], e_cnt[:T, b], n_cnt[:T, b]])
+            over = np.maximum(cnts.astype(np.int64) - cap, 0)
+            dropped += int(over.sum())
+            frames += int((over > 0).sum())
+        return dropped, frames
+
+    def decode_batch_lattice(self, loglikes: List[np.ndarray],
+                             determinize: bool = True,
+                             auto_grow: bool = True,
+                             max_grow: int = 3,
+                             pad_frames: int = 0) -> List[Lattice]:
+        """Batched lattice decode.  ``determinize`` applies word-level
+        lattice determinization to each assembled lattice, completing
+        the reference's GetRawLattice -> DeterminizeLatticePruned
+        pipeline (ref: lat/determinize-lattice-pruned.cc) so no
+        duplicate word sequences reach rescoring/MBR.  ``auto_grow``
+        re-runs with doubled ``lattice_arcs_per_frame`` (up to
+        ``max_grow`` doublings) when per-frame arc buffers overflowed;
+        any residual overflow is logged, never silent."""
         assert self.A_lat > 0, \
             "construct with lattice_arcs_per_frame > 0 for lattice output"
-        r, am, lengths = self._run(loglikes)
-        return [self._assemble_lattice(r, am, int(lengths[b]), b)
+        from kaldi_cnn_tpu.core.logging import get_logger
+        logger = get_logger(__name__)
+        for attempt in range(max_grow + 1):
+            r, am, lengths = self._run(loglikes, pad_frames)
+            dropped, frames = self._overflow_stats(r, lengths)
+            if dropped == 0 or not auto_grow or attempt == max_grow:
+                break
+            new_cap = self.A_lat * 2
+            logger.warning(
+                "lattice buffers overflowed: %d arcs dropped on %d "
+                "frames at lattice_arcs_per_frame=%d; re-running with "
+                "%d", dropped, frames, self.A_lat, new_cap)
+            self.A_lat = new_cap
+        self.last_overflow = (dropped, frames)
+        if dropped:
+            logger.warning(
+                "lattice overflow (final): %d arcs dropped on %d frames "
+                "at lattice_arcs_per_frame=%d — lattices are thinner "
+                "than the lattice beam implies", dropped, frames,
+                self.A_lat)
+        lats = [self._assemble_lattice(r, am, int(lengths[b]), b)
                 for b in range(len(loglikes))]
+        if determinize:
+            from kaldi_cnn_tpu.decode.lattice import determinize_lattice
+            lats = [determinize_lattice(
+                lat, lm_scale=1.0,
+                acoustic_scale=float(self.acoustic_scale))
+                for lat in lats]
+        return lats
 
     def _assemble_lattice(self, r, am, T, b) -> Lattice:
         g = self.g
@@ -727,3 +804,212 @@ class TpuTopKDecoder:
             lat.final_graph[node[T, last]] = 0.0
         return prune_lattice(lat, self.lattice_beam, lm_scale=1.0,
                              acoustic_scale=float(self.acoustic_scale))
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) decode on the same device kernel
+# ---------------------------------------------------------------------------
+
+class TpuStreamingDecoder:
+    """AdvanceDecoding-style chunked interface over ``TpuTopKDecoder``
+    (ref: online2/online-nnet2-decoding.cc
+    SingleUtteranceNnet2Decoder::AdvanceDecoding): feed acoustic chunks
+    as they arrive; token state (the sorted top-K active set) carries
+    across chunk boundaries on device.
+
+    Exactly matches offline ``decode_batch`` of the same rows: the
+    acoustic-lookahead ranking needs frame t+1's row when pruning frame
+    t, so one frame is held back per ``advance`` and flushed by
+    ``finalize()`` using itself as lookahead — the offline scan's
+    shift-and-duplicate-last, reproduced incrementally.  Per-frame
+    history (top-K states/costs/backpointers) accumulates on the host
+    for partial and final traceback."""
+
+    def __init__(self, decoder: TpuTopKDecoder,
+                 frame_shift_sec: float = 0.01):
+        self.dec = decoder
+        self.frame_shift = frame_shift_sec
+        self._jit_frame = None
+        self._jit_init = None
+        self.reset()
+
+    def reset(self) -> None:
+        self._pending: Optional[np.ndarray] = None   # held-back raw row
+        self._hist: List[Tuple[np.ndarray, ...]] = []
+        self._am_rows: List[np.ndarray] = []
+        self._init_level: Optional[Tuple[np.ndarray, ...]] = None
+        self._state = None
+        self.num_frames = 0                          # processed frames
+
+    def _jits(self):
+        if self._jit_frame is None:
+            dec = self.dec
+
+            def frame_fn(fs, fc, am_row, am_next_row):
+                return dec._frame(fs, fc, am_row, am_next_row)[:4]
+
+            def init_fn(am_row0):
+                k = dec.K
+                s0 = jnp.full((k,), INVALID, jnp.int32).at[0].set(
+                    dec.g.start)
+                c0 = jnp.full((k,), BIG).at[0].set(0.0)
+                fs0, fc0 = dec._eps_fixpoint(s0, c0, dec._la_fn(am_row0))
+                root = jnp.full((k,), -1, jnp.int32)
+                bp_a, bp_p = dec._resolve_bp(fs0, fc0, s0, c0, root, root)
+                return fs0, fc0, bp_a, bp_p
+
+            self._jit_frame = jax.jit(frame_fn)
+            self._jit_init = jax.jit(init_fn)
+        return self._jit_frame, self._jit_init
+
+    def advance(self, loglikes: np.ndarray) -> None:
+        """Feed [n, num_pdfs] acoustic log-likelihoods."""
+        rows = -np.asarray(loglikes, np.float32)
+        if rows.size == 0:
+            return
+        if self._pending is not None:
+            rows = np.concatenate([self._pending[None], rows])
+        for i in range(len(rows) - 1):
+            self._step(rows[i], rows[i + 1])
+        self._pending = rows[-1]
+
+    def finalize(self) -> None:
+        """Flush the held-back frame (end of input)."""
+        if self._pending is not None:
+            self._step(self._pending, self._pending)
+            self._pending = None
+
+    def _step(self, am_row: np.ndarray, am_next_row: np.ndarray) -> None:
+        frame_fn, init_fn = self._jits()
+        if self._init_level is None:
+            out = init_fn(jnp.asarray(am_row))
+            self._init_level = tuple(np.asarray(x) for x in out)
+            self._state = (out[0], out[1])
+        outs = frame_fn(self._state[0], self._state[1],
+                        jnp.asarray(am_row), jnp.asarray(am_next_row))
+        self._state = (outs[0], outs[1])
+        self._hist.append(tuple(np.asarray(o) for o in outs))
+        self._am_rows.append(np.asarray(am_row))
+        self.num_frames += 1
+
+    def _r(self):
+        r = {"init": tuple(x[None] for x in self._init_level)}
+        for j, name in enumerate(("fs", "fc", "bp_arc", "bp_prev")):
+            r[name] = np.stack([h[j] for h in self._hist])[:, None] \
+                if self._hist else np.zeros(
+                    (0, 1) + self._init_level[j].shape,
+                    self._init_level[j].dtype)
+        return r
+
+    def best_path(self, use_final: bool = True
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Current best (tids, words, cost) over the processed frames —
+        partial traceback mid-stream, final result after finalize()."""
+        if self._init_level is None:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                    float("inf"))
+        am = np.stack(self._am_rows)[None]
+        return self.dec._best_path(self._r(), am, self.num_frames, 0,
+                                   use_final=use_final)
+
+    # -- endpointing (same rules as the host online decoder) --------------
+    def trailing_silence_frames(self, trans_model, silence_phone: int
+                                ) -> int:
+        tids, _, _ = self.best_path(use_final=False)
+        n = 0
+        for tid in tids[::-1]:
+            if trans_model.id_to_phone(int(tid)) == silence_phone:
+                n += 1
+            else:
+                break
+        return n
+
+    def endpoint_detected(self, trans_model, silence_phone: int,
+                          config=None) -> bool:
+        """(ref: online-endpoint.cc EndpointDetected, over the top-K
+        active set instead of the dense cost vector)."""
+        from kaldi_cnn_tpu.online2.decoder import EndpointConfig
+        config = config or EndpointConfig()
+        t = self.num_frames
+        if t == 0:
+            return False
+        utt_sec = t * self.frame_shift
+        _, words, _ = self.best_path(use_final=False)
+        trailing_sec = self.trailing_silence_frames(
+            trans_model, silence_phone) * self.frame_shift
+        said_something = len(words) > 0
+        if not said_something and utt_sec >= config.silence_timeout_sec:
+            return True
+        r = config.rule_trailing
+        if said_something or not r.must_contain_nonsilence:
+            if (trailing_sec >= r.min_trailing_silence_sec
+                    and utt_sec >= r.min_utterance_length_sec):
+                fs, fc, _, _ = self._level(self._r(), t, 0)
+                valid = fs != INVALID
+                if valid.any():
+                    final = self.dec.g.final[np.where(valid, fs, 0)]
+                    best_final = float(np.min(np.where(
+                        valid, fc + final, BIG)))
+                    best_any = float(np.min(np.where(valid, fc, BIG)))
+                    if (best_final < BIG and
+                            best_final - best_any <= r.max_relative_cost):
+                        return True
+        if utt_sec >= config.max_utterance_length_sec:
+            return True
+        return False
+
+    def _level(self, r, t, b):
+        return self.dec._level(r, t, b)
+
+
+# ---------------------------------------------------------------------------
+# Production entry point: the decode path of the recipes and CLI verbs
+# ---------------------------------------------------------------------------
+
+def decode_utterances(graph: CompiledGraph,
+                      loglikes: "Dict[str, np.ndarray]",
+                      acoustic_scale: float = 0.1,
+                      beam: float = 16.0,
+                      lattice_beam: float = 8.0,
+                      max_active: int = 7000,
+                      lattice_arcs_per_frame: int = 2048,
+                      batch_size: int = 16,
+                      bucket_frames: int = 128,
+                      mesh=None,
+                      determinize: bool = True,
+                      decoder: Optional[TpuTopKDecoder] = None
+                      ) -> "Dict[str, Lattice]":
+    """Batched TPU lattice decode of a keyed utterance set — the
+    production decode path (ref: nnet2bin/nnet-latgen-faster.cc's role:
+    acoustic scoring AND token passing both on-device, erasing the
+    GPU-scores/CPU-search split of SURVEY.md §3.4; the post-pass
+    determinization mirrors GetRawLattice -> DeterminizeLatticePruned).
+
+    Utterances are bucketed by padded length (multiples of
+    ``bucket_frames``) and decoded in fixed-size batches so the jit
+    specializes once per (bucket, batch) shape; short final batches are
+    padded by repeating the last utterance and the duplicates dropped.
+    """
+    dec = decoder or TpuTopKDecoder(
+        graph, beam=beam, max_active=max_active,
+        acoustic_scale=acoustic_scale, lattice_beam=lattice_beam,
+        lattice_arcs_per_frame=lattice_arcs_per_frame, mesh=mesh)
+    assert dec.A_lat > 0
+    buckets: "Dict[int, List[str]]" = {}
+    for utt in sorted(loglikes):
+        t = loglikes[utt].shape[0]
+        tb = -(-max(t, 1) // bucket_frames) * bucket_frames
+        buckets.setdefault(tb, []).append(utt)
+    out: "Dict[str, Lattice]" = {}
+    for tb in sorted(buckets):
+        us = buckets[tb]
+        for i in range(0, len(us), batch_size):
+            chunk = us[i:i + batch_size]
+            lls = [np.asarray(loglikes[u], np.float32) for u in chunk]
+            n_pad = batch_size - len(chunk)
+            if n_pad:
+                lls = lls + [lls[-1]] * n_pad
+            lats = dec.decode_batch_lattice(lls, determinize=determinize,
+                                            pad_frames=tb)
+            out.update(zip(chunk, lats[:len(chunk)]))
+    return out

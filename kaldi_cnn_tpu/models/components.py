@@ -298,8 +298,18 @@ class SpliceComponent:
         return x[idx].reshape(t, -1), None
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
-        raise NotImplementedError("SpliceComponent is inference-only; "
-                                  "egs are pre-spliced for training")
+        """Index-scatter transpose of the forward gather: each input
+        frame accumulates the derivative from every spliced window it
+        appeared in, including the edge-clip duplicates
+        (ref: nnet-component.cc SpliceComponent::Backprop)."""
+        t = in_value.shape[0]
+        w = self.left_context + self.right_context + 1
+        offs = np.arange(-self.left_context, self.right_context + 1)
+        idx = np.clip(np.arange(t)[:, None] + offs[None, :], 0, t - 1)
+        od = out_deriv.reshape(t, w, self.input_dim)
+        in_deriv = jnp.zeros((t, self.input_dim), out_deriv.dtype)
+        return in_deriv.at[jnp.asarray(idx.reshape(-1))].add(
+            od.reshape(t * w, self.input_dim))
 
 
 @functools.lru_cache(maxsize=None)

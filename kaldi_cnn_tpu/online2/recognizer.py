@@ -31,13 +31,17 @@ class OnlineRecognizer:
         beam: float = 60.0,
         max_active: int = 2000,
         chunk_frames: int = 10,
+        decoder=None,
     ):
         """loglike_fn: [n, D(+ivec)] feature rows -> [n, num_pdfs]
-        pseudo log-likelihoods."""
+        pseudo log-likelihoods.  ``decoder``: any object with the
+        advance/finalize/best_path/endpoint_detected contract — e.g. a
+        decode.topk_decoder.TpuStreamingDecoder to run the chunked
+        decode on-device; defaults to the host incremental Viterbi."""
         self.pipeline = pipeline or OnlineFeaturePipeline()
         self.ivector = ivector
         self.loglike_fn = loglike_fn
-        self.decoder = SingleUtteranceDecoder(
+        self.decoder = decoder or SingleUtteranceDecoder(
             graph, acoustic_scale=acoustic_scale, beam=beam,
             max_active=max_active)
         self.chunk_frames = chunk_frames
@@ -50,6 +54,8 @@ class OnlineRecognizer:
     def input_finished(self) -> None:
         self.pipeline.finish()
         self._advance()
+        if hasattr(self.decoder, "finalize"):
+            self.decoder.finalize()
 
     def _advance(self) -> None:
         ready = self.pipeline.num_frames_ready()

@@ -117,12 +117,13 @@ def _replica_keys(seed: int, it: int, r: int) -> np.ndarray:
 
 def train_multihost(
     net: Nnet,
-    egs_train: Egs,
+    egs_train: Optional[Egs],
     egs_valid: Egs,
     cfg: Optional[TrainConfig] = None,
     mh: Optional[MultihostConfig] = None,
     mesh: Optional[Mesh] = None,
     metrics: Optional[MetricsWriter] = None,
+    batcher=None,
 ):
     """Mesh training loop.  ``num_replicas > 1`` with
     ``average_every > 0`` reproduces the reference's semantics —
@@ -148,7 +149,8 @@ def train_multihost(
     else:
         step = make_dp_step(net, mesh)
 
-    batcher = EgsBatcher(egs_train, cfg.minibatch_size, cfg.seed)
+    batcher = batcher or EgsBatcher(egs_train, cfg.minibatch_size,
+                                    cfg.seed)
     total = cfg.num_epochs * batcher.num_batches()
     it = 0
     timer = Timer()

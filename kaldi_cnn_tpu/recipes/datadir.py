@@ -129,6 +129,7 @@ class DataDir:
         issues: List[str] = []
         utts = set(self.utts())
         maps = {"text": set(self.text), "utt2spk": set(self.utt2spk)}
+        bad_seg_utts: set = set()
         if self.segments is not None:
             missing_reco = {s.recording for s in self.segments.values()
                             } - set(self.wav_scp)
@@ -136,6 +137,8 @@ class DataDir:
                 issues.append(
                     f"segments reference missing recordings: "
                     f"{sorted(missing_reco)[:5]}")
+                bad_seg_utts = {u for u, s in self.segments.items()
+                                if s.recording in missing_reco}
         for name, keys in maps.items():
             if not keys:
                 continue
@@ -148,7 +151,10 @@ class DataDir:
                 issues.append(f"{len(only_there)} utts only in {name} "
                               f"(e.g. {only_there[:3]})")
         if fix and issues:
-            keep = utts & (set(self.text) or utts) & \
+            # also drop segments whose recording is absent from wav.scp
+            # (fix_data_dir.sh removes them; without this, load_wave
+            # later fails with a raw KeyError on the recording id)
+            keep = (utts - bad_seg_utts) & (set(self.text) or utts) & \
                 (set(self.utt2spk) or utts)
             self.text = {u: w for u, w in self.text.items() if u in keep}
             self.utt2spk = {u: s for u, s in self.utt2spk.items()
@@ -286,37 +292,53 @@ def read_lexicon_file(path: str, silence_phone: str = "SIL",
                       optional_silence_prob: float = 0.5) -> Lexicon:
     """data/local/dict/lexicon.txt format: ``word ph1 ph2 ...`` with
     optional probabilistic variant ``word prob ph1 ...``
-    (lexiconp.txt)."""
-    entries: Dict[str, List[Tuple[List[str], float]]] = {}
+    (lexiconp.txt).  The second column is treated as a pronunciation
+    probability only when it parses as a float in (0, 1] — Kaldi's
+    lexiconp domain — AND is not also a phone seen elsewhere in column
+    >=2; lexicons with numeric phone symbols are therefore not
+    misparsed."""
+    raw: List[Tuple[str, List[str]]] = []
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             parts = line.split()
             if not parts:
                 continue
-            word = parts[0]
-            rest = parts[1:]
-            prob = 1.0
-            if rest and _is_float(rest[0]):
-                prob = float(rest[0])
-                rest = rest[1:]
-            entries.setdefault(word, []).append((rest, prob))
+            raw.append((parts[0], parts[1:]))
+    # a token can be a lexiconp probability only if every entry's second
+    # column is such a float (lexiconp files are all-or-nothing) — this
+    # keeps numeric phone symbols like "1"/"2" (tone phones) intact
+    def _prob_like(tok: str) -> bool:
+        try:
+            v = float(tok)
+        except ValueError:
+            return False
+        return 0.0 < v <= 1.0 and tok.lower() not in ("nan", "inf")
+    is_lexiconp = bool(raw) and all(
+        rest and _prob_like(rest[0]) and len(rest) > 1
+        for _, rest in raw)
+    entries: Dict[str, List[Tuple[List[str], float]]] = {}
+    for word, rest in raw:
+        prob = 1.0
+        if is_lexiconp:
+            prob = float(rest[0])
+            rest = rest[1:]
+        entries.setdefault(word, []).append((rest, prob))
     return Lexicon(entries=entries, silence_phone=silence_phone,
                    optional_silence_prob=optional_silence_prob)
 
 
 def write_lexicon_file(path: str, lex: Lexicon) -> None:
+    """Writes lexicon.txt; when any pronunciation probability differs
+    from 1.0, writes lexiconp format so a round-trip preserves them."""
+    any_prob = any(prob != 1.0 for prons in lex.entries.values()
+                   for _, prob in prons)
     with open(path, "w", encoding="utf-8") as f:
         for word in sorted(lex.entries):
             for pron, prob in lex.entries[word]:
-                f.write(f"{word} {' '.join(pron)}\n")
-
-
-def _is_float(tok: str) -> bool:
-    try:
-        float(tok)
-        return True
-    except ValueError:
-        return False
+                if any_prob:
+                    f.write(f"{word} {prob:.6g} {' '.join(pron)}\n")
+                else:
+                    f.write(f"{word} {' '.join(pron)}\n")
 
 
 # ------------------------------------------------------- reference interop

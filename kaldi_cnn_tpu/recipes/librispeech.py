@@ -19,7 +19,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from kaldi_cnn_tpu.core.logging import MetricsWriter, Timer, get_logger
-from kaldi_cnn_tpu.decode.decoder import lattice_decode
 from kaldi_cnn_tpu.decode.graph import CompiledGraph
 from kaldi_cnn_tpu.decode.lattice import shortest_path
 from kaldi_cnn_tpu.decode.score import wer_details
@@ -47,12 +46,22 @@ def run(
     mh: Optional[MultihostConfig] = None,
     metrics: Optional[MetricsWriter] = None,
     corpus=None,
+    egs_dir: Optional[str] = None,
+    exp_dir: Optional[str] = None,
+    stage: int = 0,
 ) -> Dict:
+    """egs_dir: directory for the on-disk sharded egs store the
+    training streams from (ref: steps/nnet2/get_egs.sh — at 960h the
+    spliced egs cannot live in RAM); a temp dir when not given.
+    exp_dir/stage: stage-guarded execution (ref: --stage resume,
+    SURVEY.md §5.3) — see recipes/wsj.py."""
     import jax
+    from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
-    from kaldi_cnn_tpu.train.egs import Egs
     from kaldi_cnn_tpu.train.trainer import TrainConfig
+
+    sr = make_runner(exp_dir, stage)
 
     mh = mh or MultihostConfig(average_every=average_every)
     mesh = initialize(mh)
@@ -78,14 +87,20 @@ def run(
     logger.info("corpus: %d local train / %d dev / %d test",
                 len(train_local.waves), len(dev.waves), len(test.waves))
 
-    mfcc = compute_features(train_local, seed=seed)
     lang = Lang.create(lex)
     timer = Timer()
-    am0, ali0 = train_mono(mfcc, train_local.transcripts, lang,
-                           MonoTrainOptions(num_iters=18, totgauss=300))
-    am1, ali1, tri = train_deltas(
-        mfcc, train_local.transcripts, lang, ali0, lang.trans_model,
-        DeltasTrainOptions(num_iters=12, totgauss=800, max_leaves=300))
+
+    def _bootstrap():
+        mfcc = compute_features(train_local, seed=seed)
+        am0, ali0 = train_mono(
+            mfcc, train_local.transcripts, lang,
+            MonoTrainOptions(num_iters=18, totgauss=300))
+        return train_deltas(
+            mfcc, train_local.transcripts, lang, ali0, lang.trans_model,
+            DeltasTrainOptions(num_iters=12, totgauss=800,
+                               max_leaves=300))
+
+    am1, ali1, tri = sr.stage("gmm_bootstrap", _bootstrap)
     logger.info("GMM bootstrap in %.1fs", timer.elapsed())
 
     num_bins, left, right = 36, 5, 5
@@ -94,13 +109,24 @@ def run(
     vol_te = compute_fbank_volumes(test, num_bins, seed + 2)
     tid2pdf = tri.trans_model.trans_id_to_pdf_array()
     num_pdfs = tri.trans_model.num_pdfs
-    egs_all = make_cnn_egs(vol_tr, ali1, tid2pdf, left, right, seed)
-    n_valid = max(len(egs_all) // 20, 256)
-    egs_valid = Egs(egs_all.x[:n_valid], egs_all.y[:n_valid],
-                    egs_all.weights[:n_valid])
-    egs_train = Egs(egs_all.x[n_valid:], egs_all.y[n_valid:],
-                    egs_all.weights[n_valid:])
-    logger.info("egs: %d train / %d valid", len(egs_train),
+    # streaming sharded egs (the scalable path): held-out utterances
+    # form the in-memory validation set, everything else streams from
+    # disk shards during training
+    import tempfile
+    from kaldi_cnn_tpu.recipes.wsj import write_cnn_egs_sharded
+    from kaldi_cnn_tpu.train.sharded_egs import StreamingEgsBatcher
+    egs_dir = egs_dir or tempfile.mkdtemp(prefix="kct_egs_")
+    usable = sorted(u for u in vol_tr if u in ali1
+                    and len(ali1[u]) == vol_tr[u].shape[0])
+    n_valid_utts = max(len(usable) // 20, 2)
+    valid_utts = set(usable[:n_valid_utts])
+    store = sr.stage("egs_store", lambda: write_cnn_egs_sharded(
+        egs_dir, {u: vol_tr[u] for u in usable if u not in valid_utts},
+        ali1, tid2pdf, left, right, num_shards=8, seed=seed))
+    egs_valid = make_cnn_egs({u: vol_tr[u] for u in valid_utts}, ali1,
+                             tid2pdf, left, right, seed)
+    logger.info("egs: %d train (streamed from %d shards in %s) / "
+                "%d valid", len(store), store.num_shards, egs_dir,
                 len(egs_valid))
 
     cfg = ConvnetConfig(
@@ -111,32 +137,42 @@ def run(
         num_pdfs=num_pdfs)
     net = make_convnet(cfg)
     timer.reset()
+    tcfg = TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
+                       initial_learning_rate=0.08,
+                       final_learning_rate=0.008, seed=seed)
     params, _ = train_multihost(
-        net, egs_train, egs_valid,
-        TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
-                    initial_learning_rate=0.08,
-                    final_learning_rate=0.008, seed=seed),
-        mh, mesh=mesh, metrics=metrics)
+        net, None, egs_valid, tcfg, mh, mesh=mesh, metrics=metrics,
+        batcher=StreamingEgsBatcher(store, tcfg.minibatch_size, seed))
     train_t = timer.elapsed()
-    frames = nnet_epochs * len(egs_train)
+    frames = nnet_epochs * len(store)
     logger.info("CNN trained in %.1fs over the mesh (%.0f audio-s/s)",
                 train_t, frames / 100.0 / train_t)
     am_nnet = AmNnet(net, num_pdfs)
-    am_nnet.set_priors_from_counts(
-        np.bincount(egs_train.y, minlength=num_pdfs))
+    # pdf priors from the label counts across the on-disk shards
+    counts = np.zeros(num_pdfs, np.int64)
+    for i in range(store.num_shards):
+        _, ys, _ = store.load_shard(i)
+        counts += np.bincount(ys, minlength=num_pdfs)
+    am_nnet.set_priors_from_counts(counts)
 
     hclg = CompiledGraph(make_hclg_from_arpa(tri, make_unigram_arpa(wp)),
                          tid2pdf)
 
     def nnet_decode(vols):
-        lats = {}
-        for utt, v in vols.items():
-            x = splice_volume(v, left, right)
-            ll = am_nnet.loglikes(params, x)
-            lats[utt] = lattice_decode(hclg, ll, acoustic_scale=0.1,
-                                       beam=60.0, lattice_beam=8.0,
-                                       max_active=2000)
-        return lats
+        # production path: batched TPU top-K lattice decode, utterance
+        # batch sharded over the mesh's data axis (decoder-state
+        # parallelism)
+        from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+        lls = {utt: np.asarray(am_nnet.loglikes(
+            params, splice_volume(v, left, right)))
+            for utt, v in vols.items()}
+        return decode_utterances(hclg, lls, acoustic_scale=0.1,
+                                 beam=60.0, lattice_beam=8.0,
+                                 max_active=2000,
+                                 lattice_arcs_per_frame=1024,
+                                 batch_size=max(
+                                     8, len(mesh.devices.flatten())),
+                                 mesh=mesh)
 
     dev_wer, pt, _ = score_sweep(nnet_decode(vol_dev), dev.transcripts,
                                  tri.word_table)

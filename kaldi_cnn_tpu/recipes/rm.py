@@ -111,13 +111,19 @@ def run(
     metrics: Optional[MetricsWriter] = None,
     use_pallas_features: bool = False,
     corpus=None,
+    exp_dir: Optional[str] = None,
+    stage: int = 0,
 ) -> Dict:
+    """exp_dir/stage: stage-guarded execution (ref: the reference
+    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py."""
     import jax
+    from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import PnormDnnConfig, make_pnorm_dnn
     from kaldi_cnn_tpu.train.egs import Egs, EgsConfig, make_egs
     from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
 
+    sr = make_runner(exp_dir, stage)
     if corpus is None:
         lex = synthetic.digits_lexicon()
         wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
@@ -129,9 +135,10 @@ def run(
     logger.info("corpus: %d train / %d dev / %d test",
                 len(train.waves), len(dev.waves), len(test.waves))
     timer = Timer()
-    feats_tr = compute_features(train, use_pallas_features, seed)
-    feats_dev = compute_features(dev, use_pallas_features, seed + 1)
-    feats_te = compute_features(test, use_pallas_features, seed + 2)
+    feats_tr, feats_dev, feats_te = sr.stage("features", lambda: (
+        compute_features(train, use_pallas_features, seed),
+        compute_features(dev, use_pallas_features, seed + 1),
+        compute_features(test, use_pallas_features, seed + 2)))
     raw_tr = {u: f[:, :13] for u, f in feats_tr.items()}
     raw_dev = {u: f[:, :13] for u, f in feats_dev.items()}
     raw_te = {u: f[:, :13] for u, f in feats_te.items()}
@@ -140,28 +147,29 @@ def run(
     # --- GMM bootstrap chain ---------------------------------------------
     lang = Lang.create(lex)
     timer.reset()
-    am0, ali0 = train_mono(feats_tr, train.transcripts, lang,
-                           MonoTrainOptions(num_iters=20, totgauss=300))
+    am0, ali0 = sr.stage("mono", lambda: train_mono(
+        feats_tr, train.transcripts, lang,
+        MonoTrainOptions(num_iters=20, totgauss=300)))
     logger.info("mono in %.1fs", timer.elapsed())
     timer.reset()
-    am1, ali1, tri1 = train_deltas(
+    am1, ali1, tri1 = sr.stage("tri1", lambda: train_deltas(
         feats_tr, train.transcripts, lang, ali0, lang.trans_model,
-        DeltasTrainOptions(num_iters=15, totgauss=600, max_leaves=200))
+        DeltasTrainOptions(num_iters=15, totgauss=600, max_leaves=200)))
     logger.info("tri1 (deltas) in %.1fs", timer.elapsed())
     timer.reset()
-    am2, ali2, tri2, lda_mllt = train_lda_mllt(
+    am2, ali2, tri2, lda_mllt = sr.stage("tri2b", lambda: train_lda_mllt(
         raw_tr, train.transcripts, lang, ali1, tri1.trans_model,
         LdaMlltTrainOptions(num_iters=15, totgauss=800, max_leaves=250,
-                            lda_dim=20))
+                            lda_dim=20)))
     logger.info("tri2b (LDA+MLLT) in %.1fs", timer.elapsed())
     lda_tr = {u: apply_affine(np.asarray(splice_frames(f, 3, 3)),
                               lda_mllt).astype(np.float32)
               for u, f in raw_tr.items()}
     timer.reset()
-    am3, ali3, spk_xforms = train_sat(
+    am3, ali3, spk_xforms = sr.stage("tri3b_sat", lambda: train_sat(
         lda_tr, train.transcripts, tri2, ali2,
         opts=SatTrainOptions(num_iters=12, totgauss=900,
-                             fmllr_min_count=50.0))
+                             fmllr_min_count=50.0)))
     logger.info("tri3b (SAT) in %.1fs", timer.elapsed())
 
     arpa = make_unigram_arpa(wp)
@@ -210,27 +218,29 @@ def run(
         input_dim=dim, num_hidden_layers=2, pnorm_input_dim=800,
         pnorm_output_dim=160, num_pdfs=num_pdfs))
     timer.reset()
-    params, _ = train_nnet(
+    params = sr.stage("dnn_train", lambda: jax.device_get(train_nnet(
         net, egs_train, egs_valid,
         TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
                     initial_learning_rate=0.08,
-                    final_learning_rate=0.008, seed=seed))
+                    final_learning_rate=0.008, seed=seed))[0]))
     logger.info("p-norm DNN trained in %.1fs", timer.elapsed())
     am_nnet = AmNnet(net, num_pdfs)
     counts = np.bincount(egs_train.y, minlength=num_pdfs)
     am_nnet.set_priors_from_counts(counts)
 
     # --- DNN decode (features: fMLLR from the GMM first pass) ------------
+    # through the production batched TPU lattice decoder
     def nnet_decode(raw_set, fmllr_set):
-        lats = {}
+        from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+        lls = {}
         for utt, g in fmllr_set.items():
             spliced = np.asarray(splice_frames(
                 g, egs_cfg.left_context, egs_cfg.right_context))
-            ll = am_nnet.loglikes(params, spliced)
-            lats[utt] = lattice_decode(
-                hclg2, ll, acoustic_scale=0.1, beam=60.0,
-                lattice_beam=8.0, max_active=2000)
-        return lats
+            lls[utt] = np.asarray(am_nnet.loglikes(params, spliced))
+        return decode_utterances(hclg2, lls, acoustic_scale=0.1,
+                                 beam=60.0, lattice_beam=8.0,
+                                 max_active=2000,
+                                 lattice_arcs_per_frame=1024)
 
     timer.reset()
     dev_nlats = nnet_decode(raw_dev, dev_fmllr)

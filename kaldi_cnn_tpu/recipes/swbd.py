@@ -18,7 +18,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from kaldi_cnn_tpu.core.logging import MetricsWriter, Timer, get_logger
-from kaldi_cnn_tpu.decode.decoder import lattice_decode
 from kaldi_cnn_tpu.decode.graph import CompiledGraph
 from kaldi_cnn_tpu.decode.lattice import shortest_path
 from kaldi_cnn_tpu.decode.score import wer_details
@@ -45,14 +44,20 @@ def run(
     num_filters: int = 48,
     ivector_dim: int = 12,
     metrics: Optional[MetricsWriter] = None,
+    exp_dir: Optional[str] = None,
+    stage: int = 0,
 ) -> Dict:
+    """exp_dir/stage: stage-guarded execution (ref: the reference
+    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py."""
     import jax
+    from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import (
         ConvnetConfig, make_convnet_ivector)
     from kaldi_cnn_tpu.models.nnet import AmNnet
     from kaldi_cnn_tpu.train.egs import Egs
     from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
 
+    sr = make_runner(exp_dir, stage)
     lex = synthetic.digits_lexicon()
     wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
     corpus, spk_of = synthetic.make_speaker_corpus(
@@ -63,22 +68,33 @@ def run(
                 len(train.waves), len(dev.waves), len(test.waves),
                 num_speakers)
     timer = Timer()
-    mfcc_tr = compute_features(train, seed=seed)
+    mfcc_tr = sr.stage("mfcc", lambda: compute_features(train, seed=seed))
     lang = Lang.create(lex)
-    am0, ali0 = train_mono(mfcc_tr, train.transcripts, lang,
-                           MonoTrainOptions(num_iters=18, totgauss=300))
-    am1, ali1, tri = train_deltas(
-        mfcc_tr, train.transcripts, lang, ali0, lang.trans_model,
-        DeltasTrainOptions(num_iters=12, totgauss=700, max_leaves=250))
+
+    def _bootstrap():
+        am0, ali0 = train_mono(
+            mfcc_tr, train.transcripts, lang,
+            MonoTrainOptions(num_iters=18, totgauss=300))
+        return train_deltas(
+            mfcc_tr, train.transcripts, lang, ali0, lang.trans_model,
+            DeltasTrainOptions(num_iters=12, totgauss=700,
+                               max_leaves=250))
+
+    am1, ali1, tri = sr.stage("gmm_bootstrap", _bootstrap)
     logger.info("GMM bootstrap in %.1fs", timer.elapsed())
 
     # --- iVector system (ref: steps/online/nnet2/train_diag_ubm.sh +
     # train_ivector_extractor.sh + extract_ivectors_online.sh) --------
     timer.reset()
     raw13 = {u: f[:, :13] for u, f in mfcc_tr.items()}
-    ubm = train_ubm(list(raw13.values()), 16, num_iters=4, seed=seed)
-    ext = IvectorExtractor(ubm, ivector_dim, seed=seed)
-    ext.train(list(raw13.values()), num_iters=4)
+
+    def _ivector_system():
+        ubm = train_ubm(list(raw13.values()), 16, num_iters=4, seed=seed)
+        ext = IvectorExtractor(ubm, ivector_dim, seed=seed)
+        ext.train(list(raw13.values()), num_iters=4)
+        return ubm, ext
+
+    ubm, ext = sr.stage("ivector_extractor", _ivector_system)
 
     def ivectors_for(corpus_set, seed_off):
         f = compute_features(corpus_set, seed=seed + seed_off)
@@ -127,11 +143,11 @@ def run(
     net = make_convnet_ivector(cfg, ivector_dim=ivector_dim)
     assert net.input_dim == egs_train.x.shape[1]
     timer.reset()
-    params, _ = train_nnet(
+    params = sr.stage("nnet_train", lambda: jax.device_get(train_nnet(
         net, egs_train, egs_valid,
         TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
                     initial_learning_rate=0.08,
-                    final_learning_rate=0.008, seed=seed))
+                    final_learning_rate=0.008, seed=seed))[0]))
     train_t = timer.elapsed()
     logger.info("CNN+ivec trained in %.1fs", train_t)
     am_nnet = AmNnet(net, num_pdfs)
@@ -142,16 +158,18 @@ def run(
                          tid2pdf)
 
     def nnet_decode(vols, ivs):
-        lats = {}
+        from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+        lls = {}
         for utt, v in vols.items():
             x = splice_volume(v, left, right)
             x = np.concatenate(
                 [x, np.repeat(ivs[utt][None, :], x.shape[0], 0)], axis=1)
-            ll = am_nnet.loglikes(params, x)
-            lats[utt] = lattice_decode(hclg, ll, acoustic_scale=0.1,
-                                       beam=60.0, lattice_beam=8.0,
-                                       max_active=2000)
-        return lats
+            lls[utt] = np.asarray(am_nnet.loglikes(params, x))
+        # production path: batched TPU top-K lattice decode
+        return decode_utterances(hclg, lls, acoustic_scale=0.1,
+                                 beam=60.0, lattice_beam=8.0,
+                                 max_active=2000,
+                                 lattice_arcs_per_frame=1024)
 
     dev_lats = nnet_decode(vol_dev, iv_dev)
     dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,

@@ -144,6 +144,44 @@ def make_corpus(
     return SyntheticCorpus(lexicon, word_probs, waves, trans)
 
 
+def make_noisy_corpus(
+    lexicon: Lexicon,
+    word_probs: Dict[str, float],
+    num_utts: int,
+    min_words: int = 1,
+    max_words: int = 4,
+    seed: int = 17,
+    noise_std: float = 250.0,
+    formant_jitter: float = 0.08,
+) -> SyntheticCorpus:
+    """Hardened corpus for a meaningful WER ledger: per-utterance
+    formant scaling (a spectral shift, the invariance the fork's CNN
+    frequency pooling exists to absorb) plus additive noise.  Unlike
+    make_corpus — whose clean, fixed-formant phones saturate every
+    acoustic model to 0% WER — recognition here degrades smoothly with
+    noise_std/formant_jitter, so WER discriminates between model
+    configurations (the RESULTS-regression requirement; ref: the
+    reference's egs/*/s5/RESULTS ledgers track non-trivial WERs)."""
+    rng = np_rng(seed, "noisy_corpus")
+    base = formant_map(lexicon.phones)
+    words = sorted(word_probs)
+    probs = np.array([word_probs[w] for w in words])
+    probs = probs / probs.sum()
+    waves, trans = {}, {}
+    for i in range(num_utts):
+        scale = 1.0 + formant_jitter * (2.0 * rng.random() - 1.0)
+        fmap = {p: [f * scale for f in fs] for p, fs in base.items()}
+        n = int(rng.integers(min_words, max_words + 1))
+        ws = [words[int(k)]
+              for k in rng.choice(len(words), size=n, p=probs)]
+        utt = f"utt{i:04d}"
+        w = render_utterance(ws, lexicon, rng, fmap=fmap)
+        waves[utt] = (w + rng.normal(0, noise_std, len(w))
+                      ).astype(np.float32)
+        trans[utt] = ws
+    return SyntheticCorpus(lexicon, word_probs, waves, trans)
+
+
 def make_speaker_corpus(
     lexicon: Lexicon,
     word_probs: Dict[str, float],

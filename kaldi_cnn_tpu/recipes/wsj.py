@@ -96,6 +96,33 @@ def make_cnn_egs(volumes: Dict[str, np.ndarray],
     return Egs(x[perm], y[perm], np.ones(len(y), np.float32))
 
 
+def write_cnn_egs_sharded(out_dir: str, volumes: Dict[str, np.ndarray],
+                          alignments: Dict[str, np.ndarray],
+                          tid_to_pdf: np.ndarray,
+                          left_context: int = 5, right_context: int = 5,
+                          num_shards: int = 8, seed: int = 0):
+    """Streaming variant of make_cnn_egs: per-utterance spliced blocks
+    go straight to an on-disk sharded store — peak memory is one
+    utterance + one shard, never the corpus (ref: steps/nnet2/get_egs.sh
+    sharding + nnet-shuffle-egs; the scalable path for the 960h-style
+    config)."""
+    from kaldi_cnn_tpu.train.sharded_egs import ShardedEgsWriter
+    w = ShardedEgsWriter(out_dir, num_shards, seed)
+    for utt in sorted(volumes):
+        if utt not in alignments:
+            continue
+        v = volumes[utt]
+        ali = np.asarray(alignments[utt])
+        if len(ali) != v.shape[0]:
+            continue
+        T = v.shape[0]
+        idx = np.clip(np.arange(T)[:, None]
+                      + np.arange(-left_context,
+                                  right_context + 1)[None], 0, T - 1)
+        w.add(v[idx].reshape(T, -1), tid_to_pdf[ali])
+    return w.finalize()
+
+
 def splice_volume(v: np.ndarray, left: int, right: int) -> np.ndarray:
     T = v.shape[0]
     idx = np.clip(np.arange(T)[:, None]
@@ -112,13 +139,36 @@ def run(
     metrics: Optional[MetricsWriter] = None,
     corpus=None,
     ext_alignments: Optional[Dict[str, np.ndarray]] = None,
+    ext_ali_mdl: Optional[str] = None,
+    tpu_decode: bool = True,
+    exp_dir: Optional[str] = None,
+    stage: int = 0,
+    noise_std: float = 250.0,
+    formant_jitter: float = 0.08,
+    eval_dnn: bool = False,
 ) -> Dict:
     """corpus: any object with the SyntheticCorpus shape (e.g. from
     recipes.datadir.corpus_from_data_dir); defaults to the synthetic
     digits corpus.  ext_alignments: externally produced transition-id
     alignments (e.g. the reference's ali ark via
     datadir.load_alignments_ark) used instead of the GMM bootstrap for
-    differential testing."""
+    differential testing; ``ext_ali_mdl`` must then name the .mdl that
+    produced them — its transition model supplies the tid->pdf map and
+    num_pdfs (the reference pairs --alidir with its model the same way,
+    ref: steps/nnet2/get_egs.sh).  Without it the external ark must
+    share this run's transition model, which is only true when it was
+    produced by an identical bootstrap; max(tid) is validated either
+    way.  tpu_decode: decode dev/test through the batched TpuTopKDecoder
+    (the production path); False falls back to the host lattice
+    decoder.  exp_dir/stage: stage-guarded execution — per-stage
+    artifacts land under exp_dir and re-running with ``stage=K`` skips
+    (loads) completed stages, the reference's crash-recovery model
+    (ref: steps/nnet2/train_*.sh --stage; SURVEY.md §5.3).
+    noise_std/formant_jitter: default-corpus hardening (additive noise
+    + per-utterance spectral shift) so test WER is non-zero and
+    config-discriminative.  eval_dnn: additionally train a p-norm DNN
+    of matched size on the SAME egs and decode it — the CNN-vs-DNN
+    ledger delta (the fork's headline claim)."""
     import jax
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
@@ -128,7 +178,9 @@ def run(
     if corpus is None:
         lex = synthetic.digits_lexicon()
         wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
-        corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
+        corpus = synthetic.make_noisy_corpus(
+            lex, wp, num_utts, 2, 5, seed, noise_std=noise_std,
+            formant_jitter=formant_jitter)
     else:
         lex, wp = corpus.lexicon, corpus.word_probs
     traindev, test = corpus.split(0.2)
@@ -136,37 +188,61 @@ def run(
     logger.info("corpus: %d train / %d dev / %d test",
                 len(train.waves), len(dev.waves), len(test.waves))
 
+    from kaldi_cnn_tpu.core.stages import make_runner
+    sr = make_runner(exp_dir, stage)
+
     timer = Timer()
-    mfcc_tr = compute_features(train, seed=seed)
+    mfcc_tr = sr.stage("mfcc", lambda: compute_features(train, seed=seed))
     logger.info("mfcc in %.1fs", timer.elapsed())
 
     # GMM bootstrap for alignments (ref: wsj tri2 alignments feed the
     # convnet's egs)
     lang = Lang.create(lex)
     timer.reset()
-    am0, ali0 = train_mono(mfcc_tr, train.transcripts, lang,
-                           MonoTrainOptions(num_iters=18, totgauss=300))
-    am1, ali1, tri = train_deltas(
-        mfcc_tr, train.transcripts, lang, ali0, lang.trans_model,
-        DeltasTrainOptions(num_iters=12, totgauss=700, max_leaves=250))
+
+    def _bootstrap():
+        am0, ali0 = train_mono(
+            mfcc_tr, train.transcripts, lang,
+            MonoTrainOptions(num_iters=18, totgauss=300))
+        return train_deltas(
+            mfcc_tr, train.transcripts, lang, ali0, lang.trans_model,
+            DeltasTrainOptions(num_iters=12, totgauss=700, max_leaves=250))
+
+    am1, ali1, tri = sr.stage("gmm_bootstrap", _bootstrap)
     logger.info("GMM bootstrap in %.1fs", timer.elapsed())
 
     num_bins = 36
     left, right = 5, 5
     timer.reset()
-    vol_tr = compute_fbank_volumes(train, num_bins, seed, use_pallas)
-    vol_dev = compute_fbank_volumes(dev, num_bins, seed + 1, use_pallas)
-    vol_te = compute_fbank_volumes(test, num_bins, seed + 2, use_pallas)
+    vol_tr, vol_dev, vol_te = sr.stage("fbank", lambda: (
+        compute_fbank_volumes(train, num_bins, seed, use_pallas),
+        compute_fbank_volumes(dev, num_bins, seed + 1, use_pallas),
+        compute_fbank_volumes(test, num_bins, seed + 2, use_pallas)))
     logger.info("fbank volumes in %.1fs", timer.elapsed())
 
     tid2pdf = tri.trans_model.trans_id_to_pdf_array()
     num_pdfs = tri.trans_model.num_pdfs
     if ext_alignments is not None:
         # differential mode: external (reference-produced) alignments
-        # replace the bootstrap's (ref: steps/nnet2/get_egs.sh --alidir)
+        # replace the bootstrap's (ref: steps/nnet2/get_egs.sh --alidir,
+        # which pairs the ali dir with the model that produced it)
+        if ext_ali_mdl is not None:
+            from kaldi_cnn_tpu.io.kaldi_model import read_gmm_model
+            ext_tm, _ = read_gmm_model(ext_ali_mdl)
+            tid2pdf = ext_tm.trans_id_to_pdf_array()
+            num_pdfs = ext_tm.num_pdfs
+        max_tid = max((int(np.max(a)) for a in ext_alignments.values()
+                       if len(a)), default=0)
+        if max_tid >= len(tid2pdf):
+            raise ValueError(
+                f"external alignment transition-id {max_tid} out of "
+                f"range for the {'supplied' if ext_ali_mdl else 'bootstrap'}"
+                f" transition model ({len(tid2pdf)} ids); pass the .mdl "
+                f"that produced the ark via --ali-mdl")
         ali1 = ext_alignments
         logger.info("using %d external alignments", len(ali1))
-    egs_all = make_cnn_egs(vol_tr, ali1, tid2pdf, left, right, seed)
+    egs_all = sr.stage("egs", lambda: make_cnn_egs(
+        vol_tr, ali1, tid2pdf, left, right, seed))
     n_valid = max(len(egs_all) // 20, 256)
     egs_valid = Egs(egs_all.x[:n_valid], egs_all.y[:n_valid],
                     egs_all.weights[:n_valid])
@@ -184,12 +260,13 @@ def run(
     net = make_convnet(cfg, use_pallas=use_pallas)
     assert net.input_dim == egs_train.x.shape[1]
     timer.reset()
-    params, _ = train_nnet(
+    params = sr.stage("nnet_train", lambda: jax.device_get(train_nnet(
         net, egs_train, egs_valid,
         TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
                     initial_learning_rate=0.08,
-                    final_learning_rate=0.008, seed=seed))
-    train_t = timer.elapsed()
+                    final_learning_rate=0.008, seed=seed,
+                    checkpoint_dir=(sr.exp_dir or "")))[0]))
+    train_t = max(timer.elapsed(), 1e-9)
     frames = nnet_epochs * len(egs_train)
     logger.info("CNN trained in %.1fs (%.0f audio-s/s)", train_t,
                 frames / 100.0 / train_t)
@@ -200,33 +277,67 @@ def run(
     hclg = CompiledGraph(make_hclg_from_arpa(tri, make_unigram_arpa(wp)),
                          tid2pdf)
 
-    def nnet_decode(vols):
-        lats = {}
-        for utt, v in vols.items():
-            x = splice_volume(v, left, right)
-            ll = am_nnet.loglikes(params, x)
-            lats[utt] = lattice_decode(hclg, ll, acoustic_scale=0.1,
-                                       beam=60.0, lattice_beam=8.0,
-                                       max_active=2000)
-        return lats
+    def nnet_decode(vols, am, ps):
+        lls = {utt: np.asarray(am.loglikes(
+            ps, splice_volume(v, left, right)))
+            for utt, v in vols.items()}
+        if tpu_decode:
+            # production path: batched TPU top-K beam search with
+            # on-device lattice emission + determinization
+            from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+            return decode_utterances(
+                hclg, lls, acoustic_scale=0.1, beam=60.0,
+                lattice_beam=8.0, max_active=2000,
+                lattice_arcs_per_frame=1024)
+        return {utt: lattice_decode(hclg, ll, acoustic_scale=0.1,
+                                    beam=60.0, lattice_beam=8.0,
+                                    max_active=2000)
+                for utt, ll in lls.items()}
+
+    def decode_and_score(am, ps, tag):
+        dev_lats = nnet_decode(vol_dev, am, ps)
+        dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,
+                                     tri.word_table)
+        logger.info("%s dev WER %.2f%% at %s", tag, dev_wer, pt)
+        test_lats = nnet_decode(vol_te, am, ps)
+        hyps = {}
+        for utt, lat in test_lats.items():
+            _, wids, _ = shortest_path(lat, 1.0, pt[0], pt[1])
+            hyps[utt] = [tri.word_table.sym(int(w)) for w in wids]
+        res = wer_details(test.transcripts, hyps)
+        res["dev_wer"] = dev_wer
+        logger.info("%s test WER %.2f%% (%d err / %d words)",
+                    tag, res["wer"], res["errors"], res["words"])
+        return res
 
     timer.reset()
-    dev_lats = nnet_decode(vol_dev)
-    dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,
-                                 tri.word_table)
-    logger.info("CNN dev WER %.2f%% at %s", dev_wer, pt)
-    test_lats = nnet_decode(vol_te)
-    hyps = {}
-    for utt, lat in test_lats.items():
-        _, wids, _ = shortest_path(lat, 1.0, pt[0], pt[1])
-        hyps[utt] = [tri.word_table.sym(int(w)) for w in wids]
-    result = wer_details(test.transcripts, hyps)
+    result = decode_and_score(am_nnet, params, "WSJ-CNN")
     decode_t = timer.elapsed()
     audio_s = sum(v.shape[0] for v in vol_te.values()) / 100.0
-    result.update(dev_wer=dev_wer,
-                  train_audio_ss=frames / 100.0 / train_t)
-    logger.info("WSJ-CNN test WER %.2f%% (%d err / %d words)",
-                result["wer"], result["errors"], result["words"])
+    result.update(train_audio_ss=frames / 100.0 / train_t)
+
+    if eval_dnn:
+        # matched-size p-norm DNN on the SAME egs — the ledger's
+        # CNN-vs-DNN delta (ref: the fork's convnet-vs-pnorm RESULTS
+        # comparison on identical features/alignments)
+        from kaldi_cnn_tpu.models.factory import (
+            PnormDnnConfig, make_pnorm_dnn)
+        dnn = make_pnorm_dnn(PnormDnnConfig(
+            input_dim=egs_train.x.shape[1], num_hidden_layers=2,
+            pnorm_input_dim=1000, pnorm_output_dim=200,
+            num_pdfs=num_pdfs))
+        dnn_params = sr.stage("dnn_train", lambda: jax.device_get(
+            train_nnet(dnn, egs_train, egs_valid,
+                       TrainConfig(num_epochs=nnet_epochs,
+                                   minibatch_size=256,
+                                   initial_learning_rate=0.08,
+                                   final_learning_rate=0.008,
+                                   seed=seed))[0]))
+        dnn_am = AmNnet(dnn, num_pdfs)
+        dnn_am.set_priors_from_counts(
+            np.bincount(egs_train.y, minlength=num_pdfs))
+        dres = decode_and_score(dnn_am, dnn_params, "WSJ-DNN")
+        result.update(dnn_wer=dres["wer"], dnn_dev_wer=dres["dev_wer"])
     if metrics:
         metrics.write("wsj_cnn_result", **result)
     return result
@@ -242,6 +353,15 @@ if __name__ == "__main__":
     ap.add_argument("--lexicon", default=None)
     ap.add_argument("--ali-ark", default=None,
                     help="external transition-id alignments ark")
+    ap.add_argument("--ali-mdl", default=None,
+                    help=".mdl that produced --ali-ark (its transition "
+                         "model maps the ark's tids to pdfs)")
+    ap.add_argument("--exp-dir", default=None,
+                    help="experiment dir for per-stage artifacts "
+                         "(enables --stage resume)")
+    ap.add_argument("--stage", default="0",
+                    help="resume from this stage index; 'auto' resumes "
+                         "after the last completed stage")
     a = ap.parse_args()
     corpus = None
     if a.data_dir:
@@ -251,6 +371,12 @@ if __name__ == "__main__":
     if a.ali_ark:
         from kaldi_cnn_tpu.recipes.datadir import load_alignments_ark
         ext = load_alignments_ark(a.ali_ark)
-    res = run(use_pallas=a.pallas, corpus=corpus, ext_alignments=ext)
+    stage = 0
+    if a.exp_dir:
+        from kaldi_cnn_tpu.core.stages import auto_stage
+        stage = (auto_stage(a.exp_dir) if a.stage == "auto"
+                 else int(a.stage))
+    res = run(use_pallas=a.pallas, corpus=corpus, ext_alignments=ext,
+              ext_ali_mdl=a.ali_mdl, exp_dir=a.exp_dir, stage=stage)
     import sys
     sys.exit(0 if res["wer"] < 10.0 else 1)

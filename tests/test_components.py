@@ -115,6 +115,14 @@ def test_splice_component(rng):
     np.testing.assert_array_equal(np.asarray(y[3, 9:]), x[4])
 
 
+def test_splice_backprop(rng):
+    # gradient-checked like every other component, so splice can sit
+    # mid-network (ref: nnet-component.cc SpliceComponent::Backprop)
+    c = SpliceComponent(input_dim=3, left_context=2, right_context=1)
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    check_backprop(c, {}, x, rng)
+
+
 def test_conv2d_matches_lax_conv(rng, key):
     c = Conv2DComponent(in_t=8, in_f=10, in_c=2, filt_t=3, filt_f=4,
                         num_filters=5)

@@ -78,3 +78,36 @@ def test_fused_conv_pool_relu(rng, key):
                                pool_t=3, pool_f=2, relu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_conv2d_maxpool_implicit_matches_reference(rng, key):
+    """The implicit-GEMM fused kernel (in-VMEM im2col, no HBM patch
+    materialization) must equal the unfused XLA conv -> relu -> pool
+    chain at several shapes, including the flagship one."""
+    from kaldi_cnn_tpu.ops.conv_pallas import conv2d_maxpool_implicit
+    # small shapes: interpreter mode executes the unrolled kernel
+    # op-by-op (the flagship shape is golden-tested on real TPU by
+    # bench.py, which asserts pallas==xla before timing)
+    for (in_t, in_f, in_c, ft, ff, nf, pt, pf) in (
+            (8, 12, 2, 3, 5, 16, 3, 4),
+            (6, 10, 1, 2, 3, 8, 1, 2)):
+        conv = Conv2DComponent(in_t=in_t, in_f=in_f, in_c=in_c,
+                               filt_t=ft, filt_f=ff, num_filters=nf)
+        pool = Maxpooling3DComponent(conv.out_t, conv.out_f, nf,
+                                     pt, pf, 1)
+        p = conv.init(key)
+        x = jnp.asarray(rng.normal(size=(9, conv.input_dim)),
+                        jnp.float32)
+        ref = pool.forward({}, jnp.maximum(
+            conv.forward(p, x)[0], 0.0))[0]
+        got = conv2d_maxpool_implicit(x, p["w"], p["b"], conv, pt, pf,
+                                      relu=True, block=8, bf16=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        # bf16 MXU blocks: same result within bf16 mantissa tolerance
+        got16 = conv2d_maxpool_implicit(x, p["w"], p["b"], conv, pt,
+                                        pf, relu=True, block=8,
+                                        bf16=True)
+        err = np.abs(np.asarray(got16) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max() + 1e-6
+        assert err.max() / scale < 0.02

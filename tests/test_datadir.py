@@ -102,6 +102,53 @@ def test_lexicon_file_roundtrip(tmp_path):
     assert lex2.phones == lex.phones
 
 
+def test_lexiconp_roundtrip_preserves_probs(tmp_path):
+    path = str(tmp_path / "lexiconp.txt")
+    with open(path, "w") as f:
+        f.write("abc 1.0 a b\nabc 0.4 a c\nd 0.9 d\n")
+    lex = read_lexicon_file(path)
+    assert lex.entries["abc"] == [(["a", "b"], 1.0), (["a", "c"], 0.4)]
+    assert lex.entries["d"] == [(["d"], 0.9)]
+    out = str(tmp_path / "out.txt")
+    write_lexicon_file(out, lex)
+    lex2 = read_lexicon_file(out)
+    assert lex2.entries == lex.entries
+
+
+def test_numeric_phone_symbols_not_eaten_as_probs(tmp_path):
+    # tone-phone style lexicons: first pronunciation token parses as a
+    # float but is a phone; must not be misread as a lexiconp prob
+    path = str(tmp_path / "lexicon.txt")
+    with open(path, "w") as f:
+        f.write("ma 1 a\nma 2 a\nba b a\n")
+    lex = read_lexicon_file(path)
+    assert lex.entries["ma"] == [(["1", "a"], 1.0), (["2", "a"], 1.0)]
+    assert lex.entries["ba"] == [(["b", "a"], 1.0)]
+
+
+def test_fix_drops_segments_with_missing_recording(tmp_path):
+    corpus, _ = _tiny_corpus(n=2)
+    utts = sorted(corpus.waves)
+    from kaldi_cnn_tpu.io.wave import write_wave
+    wav_path = str(tmp_path / "reco1.wav")
+    write_wave(wav_path, corpus.waves[utts[0]], corpus.sample_rate)
+    dd = DataDir(
+        path=str(tmp_path),
+        wav_scp={"reco1": wav_path},
+        text={u: corpus.transcripts[u] for u in utts},
+        utt2spk={u: "spk0" for u in utts},
+        segments={utts[0]: Segment("reco1", 0.0, -1.0),
+                  utts[1]: Segment("reco_missing", 0.0, -1.0)})
+    issues = dd.validate(fix=True)
+    assert issues
+    # the orphaned segment (and its text/utt2spk rows) are gone, so
+    # load_waves no longer KeyErrors on the missing recording
+    assert utts[1] not in dd.utts()
+    assert utts[1] not in dd.text and utts[1] not in dd.utt2spk
+    waves, _ = dd.load_waves()
+    assert set(waves) == {utts[0]}
+
+
 def test_corpus_from_data_dir_runs_yesno(tmp_path):
     """VERDICT item 2 'done' criterion: a recipe runs end-to-end from an
     on-disk Kaldi data dir created by the test."""

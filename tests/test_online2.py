@@ -163,3 +163,64 @@ def test_online_recognizer_matches_offline(decode_setup):
     assert list(words) == list(words_o)
     assert cost == pytest.approx(cost_o, abs=1e-2)
     assert len(tids) == len(tids_o)
+
+
+def test_tpu_streaming_decoder_matches_offline_batch(decode_setup):
+    """VERDICT round-2 item 8 'done' bar: chunked TPU decode (token
+    state carried across chunk boundaries) produces identical words —
+    and identical costs — to offline decode_batch of the same rows."""
+    from kaldi_cnn_tpu.decode.topk_decoder import (
+        TpuStreamingDecoder, TpuTopKDecoder)
+    corpus, feats, lang, am, hclg = decode_setup
+    dec = TpuTopKDecoder(hclg, beam=1e8, max_active=hclg.num_states + 32,
+                         acoustic_scale=0.1)
+    for n, utt in enumerate(sorted(feats)[:3]):
+        ll = am.loglikes(feats[utt])
+        ((tids_o, words_o, cost_o),) = dec.decode_batch([ll])
+        stream = TpuStreamingDecoder(dec)
+        chunk = 7 + 3 * n  # vary chunk size across utterances
+        for i in range(0, ll.shape[0], chunk):
+            stream.advance(ll[i:i + chunk])
+            # partial results must be readable mid-stream
+            stream.best_path(use_final=False)
+        stream.finalize()
+        tids, words, cost = stream.best_path()
+        assert list(words) == list(words_o)
+        assert list(tids) == list(tids_o)
+        assert cost == pytest.approx(cost_o, abs=1e-2)
+
+
+def test_online_recognizer_with_tpu_decoder(decode_setup):
+    """The streaming recognizer running on the TPU decoder produces the
+    same words as offline decode of the same audio."""
+    from kaldi_cnn_tpu.decode.decoder import viterbi_decode
+    from kaldi_cnn_tpu.decode.topk_decoder import (
+        TpuStreamingDecoder, TpuTopKDecoder)
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.online2 import (
+        OnlineFeaturePipeline, OnlineRecognizer)
+    corpus, feats, lang, am, hclg = decode_setup
+    utt = next(iter(corpus.waves))
+    wave = corpus.waves[utt]
+    opts = F.MfccOptions()
+    opts.frame_opts.samp_freq = float(corpus.sample_rate)
+    pipe = OnlineFeaturePipeline("mfcc", opts, deltas_order=2)
+    tdec = TpuTopKDecoder(hclg, beam=1e8,
+                          max_active=hclg.num_states + 32,
+                          acoustic_scale=0.1)
+    rec = OnlineRecognizer(hclg, lambda f: am.loglikes(f),
+                           pipeline=pipe,
+                           decoder=TpuStreamingDecoder(tdec))
+    for i in range(0, len(wave), 1600):
+        rec.accept_waveform(wave[i:i + 1600])
+    rec.input_finished()
+    tids, words, cost = rec.result()
+    pipe2 = OnlineFeaturePipeline("mfcc", opts, deltas_order=2)
+    pipe2.accept_waveform(wave)
+    pipe2.finish()
+    full = pipe2.get_frames(0, pipe2.num_frames_ready())
+    _, words_o, cost_o = viterbi_decode(
+        hclg, am.loglikes(full), acoustic_scale=0.1, beam=np.inf,
+        max_active=0)
+    assert list(words) == list(words_o)
+    assert cost == pytest.approx(cost_o, abs=1e-2)

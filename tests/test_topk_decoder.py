@@ -177,3 +177,58 @@ def test_topk_big_graph_scales():
         assert len(tids) == ll.shape[0]
         assert cost == pytest.approx(cost_h, rel=1e-4, abs=0.1)
         assert list(words) == list(words_h)
+
+
+def test_lattice_overflow_reported_and_autogrown(setup, caplog):
+    """VERDICT round-2 item 6: a dense frame that overflows a small
+    lattice buffer must be REPORTED (arcs dropped on frames), and
+    auto_grow must re-run with a larger buffer until nothing is
+    dropped — never a silently thinner lattice."""
+    import logging
+    hclg, lls = setup
+    scale = 0.1
+    dec = TpuTopKDecoder(hclg, beam=1e4, max_active=hclg.num_states + 32,
+                         acoustic_scale=scale, lattice_beam=1e4,
+                         lattice_arcs_per_frame=8)
+    # no auto-grow: the overflow must be surfaced
+    with caplog.at_level(logging.WARNING):
+        lats_small = dec.decode_batch_lattice(
+            lls[:1], determinize=False, auto_grow=False)
+    dropped, frames = dec.last_overflow
+    assert dropped > 0 and frames > 0
+    assert any("overflow" in r.message for r in caplog.records)
+    # auto-grow: buffer doubles until the drop count reaches zero
+    dec2 = TpuTopKDecoder(hclg, beam=1e4,
+                          max_active=hclg.num_states + 32,
+                          acoustic_scale=scale, lattice_beam=1e4,
+                          lattice_arcs_per_frame=8)
+    lats_grown = dec2.decode_batch_lattice(
+        lls[:1], determinize=False, auto_grow=True, max_grow=12)
+    assert dec2.last_overflow == (0, 0)
+    assert dec2.A_lat > 8
+    # the grown lattice is a strict superset of the clipped one
+    assert lats_grown[0].num_arcs >= lats_small[0].num_arcs
+
+
+def test_decode_utterances_matches_host_wer(setup):
+    """VERDICT round-2 item 1 'done' bar: the production batched entry
+    point (bucketed + padded batches, determinized lattices) produces
+    the same one-best words as the host lattice decoder on every
+    utterance."""
+    from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+    hclg, lls = setup
+    scale = 0.1
+    keyed = {f"utt{i:02d}": ll for i, ll in enumerate(lls)}
+    lats = decode_utterances(hclg, keyed, acoustic_scale=scale,
+                             beam=14.0, lattice_beam=7.0,
+                             max_active=hclg.num_states + 32,
+                             lattice_arcs_per_frame=2048,
+                             batch_size=4, bucket_frames=32)
+    assert set(lats) == set(keyed)
+    for utt, ll in keyed.items():
+        lat_h = lattice_decode(hclg, ll, acoustic_scale=scale,
+                               beam=14.0, lattice_beam=7.0, max_active=0)
+        _, w, c = shortest_path(lats[utt], acoustic_scale=scale)
+        _, w_h, c_h = shortest_path(lat_h, acoustic_scale=scale)
+        assert list(w) == list(w_h)
+        assert c == pytest.approx(c_h, rel=1e-4, abs=5e-2)
