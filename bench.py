@@ -187,9 +187,13 @@ def decode_bench() -> dict:
     audio_s = B * T / FRAMES_PER_SECOND
     out = {"graph_states": g.num_states,
            "graph_arcs": int(g.num_emitting_arcs + g.num_eps_arcs)}
+    # lattice_arcs_per_frame sized for this graph's density up front:
+    # the overflow auto-regrow (tested elsewhere) recompiles per retry,
+    # which would dominate the bench wall-clock (measured 2048->16384 =
+    # 3 retries x ~50 s)
     dec = TpuTopKDecoder(g, beam=60.0, max_active=8192,
                          acoustic_scale=1.0, lattice_beam=8.0,
-                         lattice_arcs_per_frame=2048)
+                         lattice_arcs_per_frame=16384)
     dec.decode_batch(lls)                      # compile
     t0 = time.perf_counter()
     dec.decode_batch(lls)

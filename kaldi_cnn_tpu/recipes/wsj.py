@@ -74,14 +74,17 @@ def make_cnn_egs(volumes: Dict[str, np.ndarray],
     from kaldi_cnn_tpu.core.rng import np_rng
     from kaldi_cnn_tpu.train.egs import Egs
     xs, ys = [], []
+    n_no_ali = n_len = 0
     w = left_context + 1 + right_context
     for utt in sorted(volumes):
         if utt not in alignments:
+            n_no_ali += 1
             continue
         v = volumes[utt]                       # [T, f, c]
         ali = np.asarray(alignments[utt])
         T = v.shape[0]
         if len(ali) != T:
+            n_len += 1
             continue
         idx = np.clip(np.arange(T)[:, None]
                       + np.arange(-left_context, right_context + 1)[None],
@@ -89,6 +92,16 @@ def make_cnn_egs(volumes: Dict[str, np.ndarray],
         sp = v[idx]                            # [T, w, f, c]
         xs.append(sp.reshape(T, -1))
         ys.append(tid_to_pdf[ali])
+    if n_no_ali or n_len:
+        logger.warning(
+            "make_cnn_egs skipped %d/%d utterances (%d missing "
+            "alignment, %d feature/alignment length mismatch)",
+            n_no_ali + n_len, len(volumes), n_no_ali, n_len)
+    if not xs:
+        raise ValueError(
+            f"no usable egs: all {len(volumes)} utterances skipped "
+            f"({n_no_ali} missing alignment, {n_len} length mismatch) — "
+            "were the alignments produced on the same corpus/features?")
     x = np.concatenate(xs).astype(np.float32)
     y = np.concatenate(ys).astype(np.int32)
     rng = np_rng(seed, "cnn_egs_shuffle")

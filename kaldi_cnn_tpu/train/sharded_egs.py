@@ -234,6 +234,7 @@ class StreamingEgsBatcher:
             x, y, w = pre.get(pos)
             p = perms[pos]
             carry.append((x[p], y[p], w[p]))
+            del x, y, w          # drop the unpermuted shard immediately
             carry_n += len(p)
             while carry_n >= mb:
                 bx, by, bw, carry, carry_n = _cut(carry, carry_n, mb)

@@ -181,7 +181,7 @@ def test_wsj_trains_from_external_ark_alignments(tmp_path):
     # ark; same transition-id convention via the deterministic
     # tri-from-seed bootstrap inside wsj.run)
     res_base = wsj.run(num_utts=40, nnet_epochs=2, num_filters=16,
-                       seed=67)
+                       seed=67, corpus=corpus)
     # now rerun supplying alignments through the ark round-trip: build
     # them with the same bootstrap, dump to ark, reload as "external"
     traindev, _ = corpus.split(0.2)
@@ -199,7 +199,7 @@ def test_wsj_trains_from_external_ark_alignments(tmp_path):
     ext = load_alignments_ark(ark)
     assert sorted(ext) == sorted(ali1)
     res = wsj.run(num_utts=40, nnet_epochs=2, num_filters=16, seed=67,
-                  ext_alignments=ext)
+                  corpus=corpus, ext_alignments=ext)
     assert 0.0 <= res["wer"] <= 100.0
     # identical seed + identical alignments => identical egs => same WER
     assert res["wer"] == res_base["wer"]

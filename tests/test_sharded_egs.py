@@ -83,8 +83,9 @@ def test_epoch_deterministic_and_resumable(tmp_path):
 def test_streaming_peak_memory_bounded_below_total(tmp_path):
     """VERDICT round-2 item 4 'done' bar: stream from >=8 shards with
     peak RSS bounded below total egs size."""
-    n_rows, dim = 8192, 256            # 8 MB of egs total
-    store, _, _ = _make_store(tmp_path, n_rows=n_rows, dim=dim)
+    n_rows, dim = 16384, 256           # 16 MB of egs total
+    store, _, _ = _make_store(tmp_path, n_rows=n_rows, dim=dim,
+                              num_shards=16)
     total_bytes = n_rows * dim * 4
     b = StreamingEgsBatcher(store, minibatch_size=256, seed=0)
     tracemalloc.start()
@@ -92,9 +93,11 @@ def test_streaming_peak_memory_bounded_below_total(tmp_path):
         pass
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    # streaming holds ~2 shards (current + prefetch) + carry + batch:
-    # far below the full store
-    assert peak < total_bytes * 0.6, (peak, total_bytes)
+    # streaming holds a handful of ~1-shard buffers (current shard's
+    # permuted copy, the prefetched next shard, carry, batch) — a
+    # constant independent of shard count, so the ratio to the full
+    # store shrinks as the store grows (here: <= ~5/16)
+    assert peak < total_bytes * 0.5, (peak, total_bytes)
 
 
 def test_streamed_training_matches_inmemory_bitforbit(tmp_path):
