@@ -182,16 +182,17 @@ def decode_bench() -> dict:
     P = 256
     g = make_big_graph(num_words=90_000, num_pdfs=P, min_len=4,
                        max_len=8, seed=3)
-    B, T = 4, 200
+    B, T = 16, 200
     lls = [sample_loglikes(g, P, T=T, seed=s) for s in range(B)]
     audio_s = B * T / FRAMES_PER_SECOND
     out = {"graph_states": g.num_states,
            "graph_arcs": int(g.num_emitting_arcs + g.num_eps_arcs)}
+    # reference decode settings (steps/nnet2/decode.sh: --beam 15
+    # --lattice-beam 8 --max-active 7000; SURVEY.md §3.4);
     # lattice_arcs_per_frame sized for this graph's density up front:
     # the overflow auto-regrow (tested elsewhere) recompiles per retry,
-    # which would dominate the bench wall-clock (measured 2048->16384 =
-    # 3 retries x ~50 s)
-    dec = TpuTopKDecoder(g, beam=60.0, max_active=8192,
+    # which would dominate the bench wall-clock (measured ~50 s/retry)
+    dec = TpuTopKDecoder(g, beam=15.0, max_active=7000,
                          acoustic_scale=1.0, lattice_beam=8.0,
                          lattice_arcs_per_frame=16384)
     dec.decode_batch(lls)                      # compile
@@ -210,8 +211,8 @@ def decode_bench() -> dict:
                           "arcs": int(sum(l.num_arcs for l in lats))}
     # host decoder on ONE utterance (it is serial python; extrapolate)
     t0 = time.perf_counter()
-    lattice_decode(g, lls[0], acoustic_scale=1.0, beam=60.0,
-                   lattice_beam=8.0, max_active=8192)
+    lattice_decode(g, lls[0], acoustic_scale=1.0, beam=15.0,
+                   lattice_beam=8.0, max_active=7000)
     host_s = time.perf_counter() - t0
     out["host_lattice_1utt"] = {
         "s": round(host_s, 3),

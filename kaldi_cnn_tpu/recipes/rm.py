@@ -39,7 +39,8 @@ logger = get_logger(__name__)
 
 
 def score_sweep(lats: Dict[str, "object"], refs, word_table,
-                scales=(0.02, 0.05, 0.1, 0.2), wips=(-1.0, -0.5, 0.0, 0.5)
+                scales=(0.02, 0.05, 0.1, 0.2),
+                wips=(-2.0, -1.0, -0.5, 0.0, 0.5)
                 ) -> Tuple[float, Tuple[float, float], Dict]:
     """Lattice rescoring sweep (ref: local/score.sh LMWT x WIP grid):
     decode once, rescore the lattices per operating point."""

@@ -186,6 +186,8 @@ def train_nnet(
         # per step would sync host<->device every minibatch and stall
         # the pipeline (same class of overhead as eager wrapper ops —
         # see Nnet.train_step)
+        timer.reset()
+        it0 = it
         objfs: List = []
         frame_counts: List[float] = []
         for x, y, w in batcher.epoch(epoch):
@@ -201,8 +203,11 @@ def train_nnet(
                                          frame_counts))
         train_prob = epoch_objf / max(sum(frame_counts), 1)
         valid_prob = _valid_objf(net, params, egs_valid, cfg)
-        elapsed = timer.elapsed()
-        audio_ss = (it * cfg.minibatch_size / frames_per_second) / elapsed
+        # per-epoch rate: epoch 0 includes the train-step jit compile
+        # (minutes on a tunneled chip), later epochs are steady-state
+        elapsed = max(timer.elapsed(), 1e-9)
+        audio_ss = ((it - it0) * cfg.minibatch_size
+                    / frames_per_second) / elapsed
         logger.info(
             "epoch %d: train logprob %.4f valid %.4f lr %.4g "
             "(%.0f audio-s/s)", epoch, train_prob, valid_prob,

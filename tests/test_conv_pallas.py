@@ -111,3 +111,22 @@ def test_conv2d_maxpool_implicit_matches_reference(rng, key):
         err = np.abs(np.asarray(got16) - np.asarray(ref))
         scale = np.abs(np.asarray(ref)).max() + 1e-6
         assert err.max() / scale < 0.02
+
+
+def test_predict_fuses_conv_maxpool_pair(rng, key):
+    """Nnet.predict with use_pallas=True routes adjacent conv+pool
+    through the fused implicit-GEMM kernel; output must match the
+    unfused component chain (bf16 MXU tolerance)."""
+    from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
+    cfg = ConvnetConfig(in_t=6, in_f=12, in_c=2, filt_t=3, filt_f=5,
+                        num_filters=16, pool_t=2, pool_f=2, pool_c=1,
+                        num_hidden_layers=1, pnorm_input_dim=64,
+                        pnorm_output_dim=16, num_pdfs=20)
+    net_ref = make_convnet(cfg, use_pallas=False)
+    net_pal = make_convnet(cfg, use_pallas=True)
+    p = net_ref.init(key)
+    x = jnp.asarray(rng.normal(size=(4, net_ref.input_dim))
+                    .astype(np.float32))
+    y_ref = np.asarray(net_ref.predict(p, x))
+    y_pal = np.asarray(net_pal.predict(p, x))
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-2, atol=2e-3)
