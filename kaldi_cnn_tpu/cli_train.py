@@ -370,7 +370,7 @@ def cmd_latgen_faster(argv: List[str]) -> int:
 
     from kaldi_cnn_tpu.lang.symbols import SymbolTable
     words = SymbolTable.read(os.path.join(args.lang_dir, "words.txt"))
-    tm, scorer = _load_am(args.mdl)
+    tm, scorer, _ = _load_am(args.mdl)
     with open(args.graph_fst) as f:
         hclg = Fst.read_text(f)
     graph = CompiledGraph(hclg, tm.trans_id_to_pdf_array())
@@ -412,19 +412,156 @@ def cmd_latgen_faster(argv: List[str]) -> int:
     return 0
 
 
+def cmd_online2_wav_latgen(argv: List[str]) -> int:
+    """Streaming (online) decode straight from waveforms (ref:
+    online2bin/online2-wav-nnet2-latgen-faster.cc): chunked audio ->
+    OnlineFeaturePipeline (base features + online CMVN + deltas) ->
+    chunked pseudo-loglikes -> incremental decode carrying token state
+    across chunks (TpuStreamingDecoder by default; --host-decode uses
+    the host incremental Viterbi).  Spliced nnet AMs are handled by a
+    StreamingSplicer so results match offline decode of the same
+    audio."""
+    import time
+    from kaldi_cnn_tpu.decode.graph import CompiledGraph
+    from kaldi_cnn_tpu.features import functional as F
+    from kaldi_cnn_tpu.lang.fst import Fst
+    from kaldi_cnn_tpu.lang.symbols import SymbolTable
+    from kaldi_cnn_tpu.recipes.datadir import read_key_value_file
+    from kaldi_cnn_tpu.io.wave import read_wave
+    from kaldi_cnn_tpu.online2 import (
+        OnlineFeaturePipeline, OnlineRecognizer, StreamingSplicer)
+
+    def load_wave(spec):
+        spec = spec.strip()
+        if spec.endswith("|"):      # extended rxfilename pipe
+            import subprocess
+            import tempfile
+            data = subprocess.run(spec[:-1], shell=True, check=True,
+                                  stdout=subprocess.PIPE).stdout
+            with tempfile.NamedTemporaryFile(suffix=".wav") as tf:
+                tf.write(data)
+                tf.flush()
+                samples, rate = read_wave(tf.name)
+        else:
+            samples, rate = read_wave(spec)
+        return samples[0], rate
+
+    p = argparse.ArgumentParser(prog="online2-wav-latgen")
+    p.add_argument("--feature-type", default="mfcc",
+                   choices=["mfcc", "fbank"])
+    p.add_argument("--deltas-order", type=int, default=2)
+    p.add_argument("--beam", type=float, default=16.0)
+    p.add_argument("--max-active", type=int, default=7000)
+    p.add_argument("--acoustic-scale", type=float, default=0.1)
+    p.add_argument("--chunk-seconds", type=float, default=0.2,
+                   help="audio chunk size fed to the recognizer")
+    p.add_argument("--samp-freq", type=float, default=16000.0)
+    p.add_argument("--dither", type=float, default=0.0)
+    p.add_argument("--no-online-cmvn", action="store_true",
+                   help="disable causal CMVN (for models trained on "
+                        "un-normalized features)")
+    p.add_argument("--host-decode", action="store_true")
+    p.add_argument("--lang-dir", required=True)
+    p.add_argument("mdl")
+    p.add_argument("graph_fst")
+    p.add_argument("wav_scp")
+    p.add_argument("out_text")
+    args = p.parse_args(argv)
+
+    words = SymbolTable.read(os.path.join(args.lang_dir, "words.txt"))
+    tm, scorer, model_dim = _load_am(args.mdl)
+    with open(args.graph_fst) as f:
+        hclg = Fst.read_text(f)
+    graph = CompiledGraph(hclg, tm.trans_id_to_pdf_array())
+
+    if args.feature_type == "mfcc":
+        opts = F.MfccOptions()
+        base_dim = opts.num_ceps
+    else:
+        opts = F.FbankOptions()
+        base_dim = opts.mel_opts.num_bins
+    opts.frame_opts.samp_freq = args.samp_freq
+    opts.frame_opts.dither = args.dither
+    feat_dim = base_dim * (args.deltas_order + 1)
+    context = 0
+    if model_dim != feat_dim:
+        if model_dim % feat_dim == 0 and (model_dim // feat_dim) % 2:
+            context = (model_dim // feat_dim - 1) // 2
+        else:
+            print(f"online2-wav-latgen: model input dim {model_dim} is "
+                  f"not an odd multiple of the feature dim {feat_dim}",
+                  file=sys.stderr)
+            return 2
+
+    tpu_dec = None
+    if not args.host_decode:
+        from kaldi_cnn_tpu.decode.topk_decoder import TpuTopKDecoder
+        tpu_dec = TpuTopKDecoder(
+            graph, beam=args.beam,
+            max_active=args.max_active or graph.num_states,
+            acoustic_scale=args.acoustic_scale)
+
+    scp = read_key_value_file(args.wav_scp)
+    n_frames = 0
+    t0 = time.perf_counter()
+    with open(args.out_text, "w") as out:
+        for utt in sorted(scp):
+            wave, rate = load_wave(scp[utt])
+            opts.frame_opts.samp_freq = rate   # like compute-*-feats:
+            #                                    the file's actual rate
+            cmvn = None
+            if args.no_online_cmvn:
+                from kaldi_cnn_tpu.online2 import OnlineCmvn
+                cmvn = OnlineCmvn()
+                cmvn.freeze(np.zeros(base_dim, np.float32))
+            pipe = OnlineFeaturePipeline(args.feature_type, opts,
+                                         cmvn=cmvn,
+                                         deltas_order=args.deltas_order)
+            fn = (StreamingSplicer(scorer, context, context)
+                  if context else scorer)
+            if tpu_dec is not None:
+                from kaldi_cnn_tpu.decode.topk_decoder import (
+                    TpuStreamingDecoder)
+                dec = TpuStreamingDecoder(tpu_dec)
+                rec = OnlineRecognizer(graph, fn, pipeline=pipe,
+                                       decoder=dec)
+            else:
+                rec = OnlineRecognizer(
+                    graph, fn, pipeline=pipe,
+                    acoustic_scale=args.acoustic_scale, beam=args.beam,
+                    max_active=args.max_active)
+            chunk = max(1, int(args.chunk_seconds * rate))
+            for i in range(0, len(wave), chunk):
+                rec.accept_waveform(wave[i:i + chunk])
+            rec.input_finished()
+            _, wids, _ = rec.result()
+            n_frames += rec.decoder.num_frames if hasattr(
+                rec.decoder, "num_frames") else 0
+            text = " ".join(words.sym(int(w)) for w in wids)
+            out.write(f"{utt} {text}".rstrip() + "\n")
+    elapsed = time.perf_counter() - t0
+    audio_s = n_frames / 100.0
+    print(f"online2-wav-latgen: {len(scp)} utterances "
+          f"({'host' if args.host_decode else 'tpu'} streaming path"
+          + (f", {audio_s:.1f} audio-s in {elapsed:.2f}s, RTF "
+             f"{elapsed / audio_s:.4f}" if audio_s else "") + ")",
+          file=sys.stderr)
+    return 0
+
+
 def _load_am(mdl_path: str):
     """Sniff GMM vs am-nnet .mdl; return (trans_model,
-    loglikes_fn(feats)->[T,num_pdfs])."""
+    loglikes_fn(feats)->[T,num_pdfs], model_input_dim)."""
     from kaldi_cnn_tpu.io.kaldi_model import read_am_nnet, read_gmm_model
     try:
         tm, nnet, params, priors = read_am_nnet(mdl_path)
         from kaldi_cnn_tpu.models.nnet import AmNnet
         am = AmNnet(nnet, tm.num_pdfs)
         am.priors = np.asarray(priors, np.float64)
-        return tm, lambda f: am.loglikes(params, f)
+        return tm, lambda f: am.loglikes(params, f), nnet.input_dim
     except (ValueError, KeyError, EOFError):
         tm, am = read_gmm_model(mdl_path)
-        return tm, am.loglikes
+        return tm, am.loglikes, am.dim
 
 
 TRAIN_VERBS = {
@@ -436,4 +573,5 @@ TRAIN_VERBS = {
     "nnet-train": cmd_nnet_train,
     "mkgraph": cmd_mkgraph,
     "latgen-faster": cmd_latgen_faster,
+    "online2-wav-latgen": cmd_online2_wav_latgen,
 }

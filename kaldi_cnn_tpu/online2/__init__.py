@@ -4,7 +4,7 @@ endpointing); SURVEY.md §3.5."""
 
 from kaldi_cnn_tpu.online2.features import (
     OnlineBaseFeature, OnlineCmvn, OnlineCmvnOptions,
-    OnlineFeaturePipeline)
+    OnlineFeaturePipeline, StreamingSplicer)
 from kaldi_cnn_tpu.online2.decoder import (
     EndpointConfig, EndpointRule, SingleUtteranceDecoder)
 from kaldi_cnn_tpu.online2.ivector import (

@@ -158,3 +158,52 @@ class OnlineFeaturePipeline:
             normed = np.asarray(F.compute_deltas(
                 normed, self.deltas_order, self.delta_window))
         return normed[begin:end]
+
+
+class StreamingSplicer:
+    """Streaming frame splicing around an acoustic scorer, for nnet AMs
+    whose input is a +-context window of feature rows (SpliceComponent
+    semantics with edge-frame replication, exactly recipes' offline
+    splice).  Used as the recognizer's ``loglike_fn``: buffers incoming
+    rows, scores the centers whose full right context has arrived, and
+    ``flush()`` drains the clipped tail at end of input — so streaming
+    output is bit-identical to scoring the offline-spliced matrix
+    (ref: online2's feature-pipeline lag; here the splice IS the lag)."""
+
+    def __init__(self, fn, left: int, right: int):
+        self.fn = fn
+        self.left = int(left)
+        self.right = int(right)
+        self._rows = []
+        self._n = 0
+        self._emitted = 0
+
+    def _splice(self, lo: int, hi: int) -> np.ndarray:
+        if len(self._rows) > 1:
+            self._rows = [np.concatenate(self._rows)]
+        x = self._rows[0]
+        idx = np.clip(
+            np.arange(lo, hi)[:, None]
+            + np.arange(-self.left, self.right + 1)[None],
+            0, self._n - 1)
+        return x[idx].reshape(hi - lo, -1)
+
+    def __call__(self, rows: np.ndarray) -> np.ndarray:
+        rows = np.asarray(rows, np.float32)
+        if rows.size:
+            self._rows.append(rows)
+            self._n += len(rows)
+        hi = self._n - self.right
+        if hi <= self._emitted:
+            return np.zeros((0, 1), np.float32)
+        out = self.fn(self._splice(self._emitted, hi))
+        self._emitted = hi
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Score the final frames whose right context is now clipped."""
+        if self._n == 0 or self._emitted >= self._n:
+            return np.zeros((0, 1), np.float32)
+        out = self.fn(self._splice(self._emitted, self._n))
+        self._emitted = self._n
+        return out

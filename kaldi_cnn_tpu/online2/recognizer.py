@@ -54,6 +54,12 @@ class OnlineRecognizer:
     def input_finished(self) -> None:
         self.pipeline.finish()
         self._advance()
+        if hasattr(self.loglike_fn, "flush"):
+            # StreamingSplicer-style scorers hold back frames awaiting
+            # right context; drain them before finalizing the decode
+            ll = self.loglike_fn.flush()
+            if ll is not None and len(ll):
+                self.decoder.advance(ll)
         if hasattr(self.decoder, "finalize"):
             self.decoder.finalize()
 

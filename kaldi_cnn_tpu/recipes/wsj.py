@@ -159,6 +159,9 @@ def run(
     noise_std: float = 250.0,
     formant_jitter: float = 0.08,
     eval_dnn: bool = False,
+    decode_beam: float = 60.0,
+    decode_max_active: int = 2000,
+    decode_arcs_per_frame: int = 1024,
 ) -> Dict:
     """corpus: any object with the SyntheticCorpus shape (e.g. from
     recipes.datadir.corpus_from_data_dir); defaults to the synthetic
@@ -299,12 +302,12 @@ def run(
             # on-device lattice emission + determinization
             from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
             return decode_utterances(
-                hclg, lls, acoustic_scale=0.1, beam=60.0,
-                lattice_beam=8.0, max_active=2000,
-                lattice_arcs_per_frame=1024)
+                hclg, lls, acoustic_scale=0.1, beam=decode_beam,
+                lattice_beam=8.0, max_active=decode_max_active,
+                lattice_arcs_per_frame=decode_arcs_per_frame)
         return {utt: lattice_decode(hclg, ll, acoustic_scale=0.1,
-                                    beam=60.0, lattice_beam=8.0,
-                                    max_active=2000)
+                                    beam=decode_beam, lattice_beam=8.0,
+                                    max_active=decode_max_active)
                 for utt, ll in lls.items()}
 
     def decode_and_score(am, ps, tag):

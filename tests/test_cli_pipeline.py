@@ -110,3 +110,59 @@ def test_shell_only_yesno_pipeline(tmp_path, capsys):
     out = capsys.readouterr().out
     wer_line = [ln for ln in out.splitlines() if ln.startswith("%WER")][-1]
     assert float(wer_line.split()[1]) <= 25.0, wer_line
+
+
+def test_online2_wav_latgen_verb(tmp_path, capsys):
+    """Streaming CLI decode (online2-wav-nnet2-latgen-faster analogue):
+    wav.scp in, transcripts out, through the chunked online recognizer
+    with the spliced nnet AM — WER must match the offline verb's
+    ballpark on the same corpus."""
+    d = str(tmp_path)
+
+    def p(name):
+        return os.path.join(d, name)
+
+    lex = synthetic.yesno_lexicon()
+    wp = {"yes": 0.5, "no": 0.5}
+    corpus = synthetic.make_corpus(lex, wp, 40, 1, 3, seed=29)
+    train, test = corpus.split(0.25)
+    write_data_dir(p("train"), train.waves, train.transcripts, None,
+                   corpus.sample_rate)
+    write_data_dir(p("test"), test.waves, test.transcripts, None,
+                   corpus.sample_rate)
+    write_lexicon_file(p("lexicon.txt"), lex)
+    from kaldi_cnn_tpu.lang.arpa import make_unigram_arpa
+    with open(p("unigram.arpa"), "w") as f:
+        f.write(make_unigram_arpa(wp))
+    assert cli.main([
+        "compute-mfcc-feats", "--dither=0",
+        os.path.join(p("train"), "wav.scp"), p("train_mfcc.ark")]) == 0
+    assert cli.main([
+        "add-deltas", "--delta-order=2", p("train_mfcc.ark"),
+        p("train_feats.ark"),
+        f"--out-scp={p('train_feats.scp')}"]) == 0
+    assert cli.main(["prepare-lang", p("lexicon.txt"), p("lang")]) == 0
+    assert cli.main([
+        "gmm-train-mono", "--num-iters=14", "--totgauss=200",
+        p("lang"), p("train_feats.scp"),
+        os.path.join(p("train"), "text"),
+        p("mono.mdl"), p("ali0.ark")]) == 0
+    assert cli.main(["mkgraph", p("lang"), p("unigram.arpa"),
+                     p("HCLG.txt")]) == 0
+    # GMM features are mfcc+deltas == the online pipeline's output, so
+    # the verb streams with no splice; host + tpu streaming paths
+    for tag, extra in (("host", ["--host-decode"]), ("tpu", [])):
+        assert cli.main([
+            "online2-wav-latgen", "--beam=200", "--max-active=0",
+            "--acoustic-scale=1.0", f"--lang-dir={p('lang')}",
+            "--no-online-cmvn",  # the GMM trained on raw mfcc+deltas
+            *extra, p("mono.mdl"), p("HCLG.txt"),
+            os.path.join(p("test"), "wav.scp"),
+            p(f"hyp_{tag}.txt")]) == 0
+        assert cli.main([
+            "compute-wer", os.path.join(p("test"), "text"),
+            p(f"hyp_{tag}.txt")]) == 0
+        out = capsys.readouterr().out
+        wer_line = [ln for ln in out.splitlines()
+                    if ln.startswith("%WER")][-1]
+        assert float(wer_line.split()[1]) <= 25.0, (tag, wer_line)
