@@ -461,6 +461,13 @@ def cmd_online2_wav_latgen(argv: List[str]) -> int:
                    help="disable causal CMVN (for models trained on "
                         "un-normalized features)")
     p.add_argument("--host-decode", action="store_true")
+    p.add_argument("--lattice-wspecifier", default=None,
+                   help="also write lattices (npz): the accumulated "
+                        "per-utterance loglikes are re-decoded through "
+                        "the lattice path after streaming best-path "
+                        "decode (ref: online2-wav-nnet2-latgen-faster "
+                        "writes CompactLattices)")
+    p.add_argument("--lattice-beam", type=float, default=8.0)
     p.add_argument("--lang-dir", required=True)
     p.add_argument("mdl")
     p.add_argument("graph_fst")
@@ -493,16 +500,40 @@ def cmd_online2_wav_latgen(argv: List[str]) -> int:
                   file=sys.stderr)
             return 2
 
-    tpu_dec = None
+    stream_dec = None
     if not args.host_decode:
-        from kaldi_cnn_tpu.decode.topk_decoder import TpuTopKDecoder
+        from kaldi_cnn_tpu.decode.topk_decoder import (TpuStreamingDecoder,
+                                                       TpuTopKDecoder)
         tpu_dec = TpuTopKDecoder(
             graph, beam=args.beam,
             max_active=args.max_active or graph.num_states,
             acoustic_scale=args.acoustic_scale)
+        # ONE streaming decoder for the whole run: its per-frame jit
+        # wrappers compile once; reset() clears token state between
+        # utterances (constructing per-utterance re-traced the frame
+        # kernel every time — tens of seconds per compile on a
+        # tunneled chip)
+        stream_dec = TpuStreamingDecoder(tpu_dec)
+
+    class _AdvanceRecorder:
+        """Records the loglike rows fed to a streaming decoder so the
+        utterance can be re-decoded through the lattice path afterwards
+        (the streaming kernel keeps no lattice records)."""
+
+        def __init__(self, inner):
+            object.__setattr__(self, "_inner", inner)
+            object.__setattr__(self, "rows", [])
+
+        def advance(self, ll):
+            self.rows.append(np.asarray(ll, np.float32))
+            self._inner.advance(ll)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
 
     scp = read_key_value_file(args.wav_scp)
     n_frames = 0
+    utt_lls: Dict[str, np.ndarray] = {}
     t0 = time.perf_counter()
     with open(args.out_text, "w") as out:
         for utt in sorted(scp):
@@ -519,10 +550,20 @@ def cmd_online2_wav_latgen(argv: List[str]) -> int:
                                          deltas_order=args.deltas_order)
             fn = (StreamingSplicer(scorer, context, context)
                   if context else scorer)
-            if tpu_dec is not None:
-                from kaldi_cnn_tpu.decode.topk_decoder import (
-                    TpuStreamingDecoder)
-                dec = TpuStreamingDecoder(tpu_dec)
+            if stream_dec is not None:
+                stream_dec.reset()
+                dec = stream_dec
+            else:
+                dec = None
+            if dec is not None or args.lattice_wspecifier:
+                if dec is None:
+                    from kaldi_cnn_tpu.online2.decoder import (
+                        SingleUtteranceDecoder)
+                    dec = SingleUtteranceDecoder(
+                        graph, acoustic_scale=args.acoustic_scale,
+                        beam=args.beam, max_active=args.max_active)
+                if args.lattice_wspecifier:
+                    dec = _AdvanceRecorder(dec)
                 rec = OnlineRecognizer(graph, fn, pipeline=pipe,
                                        decoder=dec)
             else:
@@ -537,8 +578,28 @@ def cmd_online2_wav_latgen(argv: List[str]) -> int:
             _, wids, _ = rec.result()
             n_frames += rec.decoder.num_frames if hasattr(
                 rec.decoder, "num_frames") else 0
+            if args.lattice_wspecifier:
+                utt_lls[utt] = (np.concatenate(rec.decoder.rows)
+                                if rec.decoder.rows
+                                else np.zeros((0, 1), np.float32))
             text = " ".join(words.sym(int(w)) for w in wids)
             out.write(f"{utt} {text}".rstrip() + "\n")
+    if args.lattice_wspecifier:
+        from kaldi_cnn_tpu.decode.lattice import save_lattices
+        if args.host_decode:
+            from kaldi_cnn_tpu.decode.decoder import lattice_decode
+            lats = {u: lattice_decode(
+                graph, ll, acoustic_scale=args.acoustic_scale,
+                beam=args.beam, lattice_beam=args.lattice_beam,
+                max_active=args.max_active)
+                for u, ll in utt_lls.items()}
+        else:
+            from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
+            lats = decode_utterances(
+                graph, utt_lls, acoustic_scale=args.acoustic_scale,
+                beam=args.beam, lattice_beam=args.lattice_beam,
+                max_active=args.max_active)
+        save_lattices(args.lattice_wspecifier, lats)
     elapsed = time.perf_counter() - t0
     audio_s = n_frames / 100.0
     print(f"online2-wav-latgen: {len(scp)} utterances "

@@ -32,10 +32,13 @@ class FeatureExtractor:
         opts=None,
         bucket_seconds: float = 1.0,
         device: Optional[str] = None,      # None=default backend, or 'cpu'
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,  # None = Pallas on TPU backend
         deltas_order: int = 0,
         deltas_window: int = 2,
     ):
+        from kaldi_cnn_tpu.ops.common import resolve_pallas
+        use_pallas = resolve_pallas(use_pallas)
+        self.use_pallas = use_pallas
         if opts is None:
             opts = F.MfccOptions() if kind == "mfcc" else F.FbankOptions()
         self.kind = kind

@@ -312,7 +312,6 @@ class SpliceComponent:
             od.reshape(t * w, self.input_dim))
 
 
-@functools.lru_cache(maxsize=None)
 @dataclass(frozen=True)
 class IdentityComponent:
     """Pass-through (used as a branch of SliceParallelComponent)."""

@@ -51,7 +51,12 @@ class ConvnetConfig:
 
 
 def make_convnet(cfg: Optional[ConvnetConfig] = None,
-                 use_pallas: bool = False) -> Nnet:
+                 use_pallas: Optional[bool] = None) -> Nnet:
+    """``use_pallas=None`` resolves to the backend default (True on
+    TPU): it opts the conv+pool pair into Nnet.predict's fused Pallas
+    inference kernel; training math is unchanged either way."""
+    from kaldi_cnn_tpu.ops.common import resolve_pallas
+    use_pallas = resolve_pallas(use_pallas)
     cfg = cfg or ConvnetConfig()
     conv = Conv2DComponent(
         in_t=cfg.in_t, in_f=cfg.in_f, in_c=cfg.in_c,
@@ -79,13 +84,15 @@ def make_convnet(cfg: Optional[ConvnetConfig] = None,
 
 def make_convnet_ivector(cfg: Optional[ConvnetConfig] = None,
                          ivector_dim: int = 16,
-                         use_pallas: bool = False) -> Nnet:
+                         use_pallas: Optional[bool] = None) -> Nnet:
     """CNN AM with an appended speaker iVector that bypasses the conv
     front end (the Switchboard CNN + online-iVector configuration;
     ref: egs/swbd local/online convnet scripts — the iVector rides
     every input row and joins before the affine stack)."""
     from kaldi_cnn_tpu.models.components import (
         IdentityComponent, SliceParallelComponent)
+    from kaldi_cnn_tpu.ops.common import resolve_pallas
+    use_pallas = resolve_pallas(use_pallas)
     cfg = cfg or ConvnetConfig()
     conv = Conv2DComponent(
         in_t=cfg.in_t, in_f=cfg.in_f, in_c=cfg.in_c,

@@ -26,10 +26,13 @@ class OnlineBaseFeature:
 
     def __init__(self, kind: str = "mfcc", opts=None):
         self.kind = kind
-        self.opts = opts or (F.MfccOptions() if kind == "mfcc"
-                             else F.FbankOptions())
-        # streaming uses no dither by default (reproducibility)
-        self.opts.frame_opts.dither = 0.0
+        if opts is None:
+            opts = F.MfccOptions() if kind == "mfcc" else F.FbankOptions()
+            # streaming defaults to no dither (reproducibility); a
+            # caller-provided opts keeps its own dither setting (e.g.
+            # online2-wav-latgen --dither)
+            opts.frame_opts.dither = 0.0
+        self.opts = opts
         self._wave = np.zeros(0, np.float32)
         self._feats: List[np.ndarray] = []
         self._done = 0  # frames computed so far

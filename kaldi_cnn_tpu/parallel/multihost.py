@@ -179,7 +179,7 @@ def train_multihost(
                 params = average(params)
         train_prob = float(ep_objf) / max(ep_frames, 1)
         audio_ss = (it * cfg.minibatch_size / 100.0) / timer.elapsed()
-        logger.info("mh epoch %d: train logprob %.4f (%.0f audio-s/s, "
+        logger.info("mh epoch %d: train logprob %.4f (%.2f audio-s/s, "
                     "%d devices, %d replicas)", epoch, train_prob,
                     audio_ss, len(mesh.devices.flatten()), r)
         if metrics:

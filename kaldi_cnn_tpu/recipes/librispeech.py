@@ -135,7 +135,7 @@ def run(
         pool_t=2, pool_f=3, pool_c=1,
         num_hidden_layers=2, pnorm_input_dim=800, pnorm_output_dim=160,
         num_pdfs=num_pdfs)
-    net = make_convnet(cfg)
+    net = make_convnet(cfg, use_pallas=None)
     timer.reset()
     tcfg = TrainConfig(num_epochs=nnet_epochs, minibatch_size=256,
                        initial_learning_rate=0.08,

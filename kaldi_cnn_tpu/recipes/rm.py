@@ -110,7 +110,7 @@ def run(
     seed: int = 29,
     nnet_epochs: int = 25,
     metrics: Optional[MetricsWriter] = None,
-    use_pallas_features: bool = False,
+    use_pallas_features: Optional[bool] = None,
     corpus=None,
     exp_dir: Optional[str] = None,
     stage: int = 0,

@@ -140,7 +140,8 @@ def run(
         pool_t=2, pool_f=3, pool_c=1,
         num_hidden_layers=2, pnorm_input_dim=800, pnorm_output_dim=160,
         num_pdfs=num_pdfs)
-    net = make_convnet_ivector(cfg, ivector_dim=ivector_dim)
+    net = make_convnet_ivector(cfg, ivector_dim=ivector_dim,
+                               use_pallas=None)
     assert net.input_dim == egs_train.x.shape[1]
     timer.reset()
     params = sr.stage("nnet_train", lambda: jax.device_get(train_nnet(

@@ -40,11 +40,13 @@ logger = get_logger(__name__)
 
 
 def compute_fbank_volumes(corpus, num_bins: int = 36, seed: int = 0,
-                          use_pallas: bool = False
+                          use_pallas: Optional[bool] = None
                           ) -> Dict[str, np.ndarray]:
     """Per-utterance [T, num_bins, 3] volumes: static + delta + delta2
     channels over mel filterbanks (ref: conf/fbank.conf 36 bins + the
     convnet scripts' --delta-order=2)."""
+    from kaldi_cnn_tpu.ops.common import resolve_pallas
+    use_pallas = resolve_pallas(use_pallas)
     opts = F.FbankOptions()
     opts.frame_opts.samp_freq = float(corpus.sample_rate)
     opts.frame_opts.dither = 1.0
@@ -148,7 +150,7 @@ def run(
     seed: int = 37,
     nnet_epochs: int = 25,
     num_filters: int = 64,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     metrics: Optional[MetricsWriter] = None,
     corpus=None,
     ext_alignments: Optional[Dict[str, np.ndarray]] = None,
@@ -267,6 +269,8 @@ def run(
     logger.info("egs: %d train / %d valid, dim %d",
                 len(egs_train), len(egs_valid), egs_train.x.shape[1])
 
+    from kaldi_cnn_tpu.ops.common import resolve_pallas
+    use_pallas = resolve_pallas(use_pallas)
     cfg = ConvnetConfig(
         in_t=left + 1 + right, in_f=num_bins, in_c=3,
         filt_t=4, filt_f=7, num_filters=num_filters,

@@ -28,12 +28,14 @@ from kaldi_cnn_tpu.recipes import synthetic
 logger = get_logger(__name__)
 
 
-def compute_features(corpus, use_pallas: bool = False,
+def compute_features(corpus, use_pallas: Optional[bool] = None,
                      seed: int = 0) -> Dict[str, np.ndarray]:
     """MFCC + deltas per utterance (ref: steps/make_mfcc.sh +
     add-deltas in train_mono).  Extraction is bucketed+jitted and
     pinned to host CPU: the GMM bootstrap consumes features host-side."""
     from kaldi_cnn_tpu.features.extractor import FeatureExtractor
+    from kaldi_cnn_tpu.ops.common import resolve_pallas
+    use_pallas = resolve_pallas(use_pallas)
     opts = F.MfccOptions()
     opts.frame_opts.samp_freq = float(corpus.sample_rate)
     opts.frame_opts.dither = 1.0
@@ -48,7 +50,7 @@ def run(
     num_iters: int = 25,
     totgauss: int = 400,
     seed: int = 17,
-    use_pallas_features: bool = False,
+    use_pallas_features: Optional[bool] = None,
     metrics: Optional[MetricsWriter] = None,
     corpus=None,
 ) -> Dict:

@@ -156,6 +156,7 @@ def test_online2_wav_latgen_verb(tmp_path, capsys):
             "online2-wav-latgen", "--beam=200", "--max-active=0",
             "--acoustic-scale=1.0", f"--lang-dir={p('lang')}",
             "--no-online-cmvn",  # the GMM trained on raw mfcc+deltas
+            f"--lattice-wspecifier={p('lats_' + tag + '.npz')}",
             *extra, p("mono.mdl"), p("HCLG.txt"),
             os.path.join(p("test"), "wav.scp"),
             p(f"hyp_{tag}.txt")]) == 0
@@ -166,3 +167,19 @@ def test_online2_wav_latgen_verb(tmp_path, capsys):
         wer_line = [ln for ln in out.splitlines()
                     if ln.startswith("%WER")][-1]
         assert float(wer_line.split()[1]) <= 25.0, (tag, wer_line)
+        # the verb now also emits real lattices (ADVICE round-3: the
+        # reference tool writes CompactLattices, not just one-best);
+        # each lattice's best path must reproduce the streamed one-best
+        from kaldi_cnn_tpu.decode.lattice import (load_lattices,
+                                                  shortest_path)
+        from kaldi_cnn_tpu.lang.symbols import SymbolTable
+        words = SymbolTable.read(p("lang") + "/words.txt")
+        lats = load_lattices(p(f"lats_{tag}.npz"))
+        hyps = dict(ln.split(None, 1) if " " in ln else (ln, "")
+                    for ln in open(p(f"hyp_{tag}.txt"))
+                    .read().splitlines())
+        assert set(lats) == set(hyps), tag
+        for utt, lat in lats.items():
+            _, wids, _ = shortest_path(lat, 1.0, 1.0)
+            txt = " ".join(words.sym(int(w)) for w in wids)
+            assert txt == hyps[utt].strip(), (tag, utt)
