@@ -238,6 +238,37 @@ def cmd_lattice_best_path(argv: List[str]) -> int:
     return 0
 
 
+def cmd_lattice_copy(argv: List[str]) -> int:
+    """Copy/convert lattice archives between the native npz form and
+    Kaldi-binary CompactLattice arks (ref: latbin/lattice-copy.cc).
+    Format is sniffed on read (npz = zip magic) and chosen on write by
+    extension: ``.npz`` native, anything else Kaldi binary."""
+    from kaldi_cnn_tpu.decode.lattice import load_lattices, save_lattices
+    from kaldi_cnn_tpu.io.kaldi_lattice import (
+        read_compact_lattice_ark, write_compact_lattice_ark)
+    p = argparse.ArgumentParser(prog="lattice-copy")
+    p.add_argument("lat_in")
+    p.add_argument("lat_out", nargs="?", default=None,
+                   help="omit to dump Kaldi text-lattice form to stdout")
+    args = p.parse_args(argv)
+    with open(args.lat_in, "rb") as f:
+        is_npz = f.read(2) == b"PK"
+    lats = (load_lattices(args.lat_in) if is_npz
+            else read_compact_lattice_ark(args.lat_in))
+    if args.lat_out is None:         # text dump (lattice-copy text mode)
+        from kaldi_cnn_tpu.decode.lattice import write_lattice_text
+        for utt, lat in sorted(lats.items()):
+            print(utt)
+            write_lattice_text(lat, sys.stdout)
+            print()
+    elif args.lat_out.endswith(".npz"):
+        save_lattices(args.lat_out, lats)
+    else:
+        write_compact_lattice_ark(args.lat_out, lats)
+    print(f"lattice-copy: {len(lats)} lattices", file=sys.stderr)
+    return 0
+
+
 def cmd_lattice_mbr(argv: List[str]) -> int:
     from kaldi_cnn_tpu.decode.lattice import load_lattices, mbr_decode
     p = argparse.ArgumentParser(prog="lattice-mbr-decode")
@@ -363,21 +394,6 @@ def cmd_lattice_to_post(argv: List[str]) -> int:
                             for tid, w in sorted(items.items()))
             chunks.append(f"[ {body} ]")
         print(f"{utt} {' '.join(chunks)}")
-    return 0
-
-
-def cmd_lattice_copy(argv: List[str]) -> int:
-    """npz -> Kaldi text-lattice dump (ref: lattice-copy --write-compact
-    text mode)."""
-    from kaldi_cnn_tpu.decode.lattice import load_lattices, \
-        write_lattice_text
-    p = argparse.ArgumentParser(prog="lattice-copy")
-    p.add_argument("lat_npz")
-    args = p.parse_args(argv)
-    for utt, lat in sorted(load_lattices(args.lat_npz).items()):
-        print(utt)
-        write_lattice_text(lat, sys.stdout)
-        print()
     return 0
 
 
@@ -536,6 +552,7 @@ VERBS = {
     "compute-cmvn-stats": cmd_compute_cmvn_stats,
     "apply-cmvn-stats": cmd_apply_cmvn_stats,
     "lattice-best-path": cmd_lattice_best_path,
+    "lattice-copy": cmd_lattice_copy,
     "lattice-mbr-decode": cmd_lattice_mbr,
     "lattice-nbest": cmd_lattice_nbest,
     "lattice-prune": lambda a: cmd_lattice_unary(a, "lattice-prune"),
@@ -546,7 +563,6 @@ VERBS = {
     "lattice-scale": lambda a: cmd_lattice_unary(a, "lattice-scale"),
     "lattice-lmrescore": cmd_lattice_lmrescore,
     "lattice-to-post": cmd_lattice_to_post,
-    "lattice-copy": cmd_lattice_copy,
     "nnet-am-info": cmd_nnet_am_info,
     "nnet-am-copy": cmd_nnet_am_copy,
     "nnet-am-average": cmd_nnet_am_average,

@@ -122,6 +122,54 @@ class TopKGraph:
         self.final = np.asarray(g.final, np.float32)
         self.eps_depth = self._eps_depth()
         self._build_lookahead()
+        self._build_hub_aux()
+        self._build_eps_incsr()
+
+    def _build_hub_aux(self) -> None:
+        """Per-hub-state auxiliary tables: hub arcs are relaxed densely
+        every frame, but their SOURCES are a handful of distinct hub
+        states — looking up those few states once and broadcasting via a
+        static arc->hub-state index replaces a 10^5-query binary search
+        per frame (measured 22.8 ms -> 2.9 ms at bench scale).  Hub arc
+        DESTINATIONS are static too, so their acoustic-lookahead table
+        rows are pre-gathered here; at runtime the lookahead becomes a
+        small-table gather over the P-row acoustic vector instead of a
+        random HBM gather over the [S, W+1] table (74 ms -> 4 ms)."""
+        for fam in ("e", "n"):
+            arcs = getattr(self, f"{fam}_hub_arcs")
+            srcs = getattr(self, f"{fam}_src")[arcs] if len(arcs) else \
+                np.zeros(0, np.int32)
+            states, sid = np.unique(srcs, return_inverse=True)
+            setattr(self, f"{fam}_hub_states", states.astype(np.int32))
+            setattr(self, f"{fam}_hub_sid", sid.astype(np.int32))
+        dsts = self.n_dst[self.n_hub_arcs] if len(self.n_hub_arcs) else \
+            np.zeros(0, np.int64)
+        self.n_hub_la_pdf = self.la_pdf[dsts]
+        self.n_hub_la_w = self.la_w[dsts]
+
+    def _build_eps_incsr(self, max_in: int = 8) -> None:
+        """CSR of eps arcs BY DESTINATION, for backpointer resolution:
+        each surviving token checks only its own eps in-arcs (a bounded
+        window) instead of the whole expansion being scattered through
+        segment-min reductions.  States whose eps in-degree exceeds the
+        cap (e.g. an LM backoff state fed by many word-ends) keep a
+        dense in-hub arc table."""
+        A = len(self.n_src)
+        order = np.argsort(np.asarray(self.n_dst, np.int64),
+                           kind="stable")
+        dst_sorted = np.asarray(self.n_dst, np.int64)[order]
+        off = np.searchsorted(dst_sorted, np.arange(self.num_states + 1))
+        deg = off[1:] - off[:-1]
+        self.ni_is_hub = deg > max_in
+        hub_arcs = np.concatenate(
+            [order[off[s]:off[s + 1]]
+             for s in np.nonzero(self.ni_is_hub)[0]] or
+            [np.zeros(0, np.int64)]).astype(np.int32)
+        self.ni_hub_arcs = hub_arcs
+        self.ni_off = off.astype(np.int32)
+        self.ni_arc = order.astype(np.int32)
+        self.max_in_deg = int(deg[~self.ni_is_hub].max()) \
+            if (~self.ni_is_hub).any() and A else 0
 
     def _build_lookahead(self, W: int = 2) -> None:
         """Per-state acoustic-lookahead table: up to W outgoing emitting
@@ -180,18 +228,22 @@ class TopKGraph:
 # Device-side primitives (single utterance; vmapped over batch)
 # ---------------------------------------------------------------------------
 
-def _recombine_topk(dst, cost, payloads, k, beam, la_of=None):
+def _recombine_topk(dst, cost, payloads, k, beam, la=None):
     """Hash-map insert + beam + max-active in one shot: sort candidates
     by (dst, cost), keep the cheapest per dst, beam-cut, take top-K, and
     restore state-sorted order (ref: ProcessEmitting's token map +
     PruneActiveTokens).
 
-    ``la_of``: optional acoustic-lookahead ranking (states -> extra
-    ranking cost).  Per-dst recombination and the stored costs remain
-    exact true costs; only the top-K *selection* uses cost + lookahead,
-    so tokens with acoustic support next frame out-survive LM-only hub
-    fan-out (TopKGraph._build_lookahead)."""
-    ops = jax.lax.sort((dst, cost) + tuple(payloads), num_keys=2)
+    ``la``: optional PER-CANDIDATE acoustic-lookahead ranking addend,
+    carried through the sort as a payload (a post-sort la gather over
+    the shuffled dst array would be a random HBM gather — measured 74 ms
+    per frame at bench scale vs ~0 as a payload).  Per-dst recombination
+    and the stored costs remain exact true costs; only the top-K
+    *selection* uses cost + lookahead, so tokens with acoustic support
+    next frame out-survive LM-only hub fan-out
+    (TopKGraph._build_lookahead)."""
+    extra = () if la is None else (la,)
+    ops = jax.lax.sort((dst, cost) + extra + tuple(payloads), num_keys=2)
     sdst, scost = ops[0], ops[1]
     dup = jnp.concatenate(
         [jnp.zeros((1,), bool), sdst[1:] == sdst[:-1]])
@@ -199,10 +251,12 @@ def _recombine_topk(dst, cost, payloads, k, beam, la_of=None):
     bad = dup | (scost > cutoff) | (sdst == INVALID)
     scost = jnp.where(bad, BIG, scost)
     sdst = jnp.where(bad, INVALID, sdst)
-    rank = scost if la_of is None else \
-        jnp.where(bad, BIG, scost + la_of(sdst))
+    if la is None:
+        rank, rest = scost, ops[2:]
+    else:
+        rank, rest = jnp.where(bad, BIG, scost + ops[2]), ops[3:]
     _, idx = jax.lax.top_k(-rank, k)
-    sel = tuple(o[idx] for o in (sdst, scost) + ops[2:])
+    sel = (sdst[idx], scost[idx]) + tuple(o[idx] for o in rest)
     # restore the state-sorted invariant (dedup marking above happened
     # after the first sort, so selected entries are not in dst order)
     return jax.lax.sort(sel, num_keys=2)
@@ -270,15 +324,35 @@ class TpuTopKDecoder:
             "la_pdf": jnp.asarray(g.la_pdf),
             "la_w": jnp.asarray(g.la_w),
         }
-        # dense hub arc tables (see TopKGraph docstring)
+        # dense hub arc tables (see TopKGraph docstring); hub aux
+        # tables let source costs resolve per hub STATE and hub-dst
+        # lookahead come from pre-gathered rows (TopKGraph._build_hub_aux)
         if self.He:
             ha = g.e_hub_arcs
             self.d["e_hub"] = tuple(jnp.asarray(x) for x in (
                 ha, g.e_src[ha], g.e_dst[ha], g.e_w[ha], g.e_pdf[ha]))
+            self.d["e_hub_states"] = jnp.asarray(g.e_hub_states)
+            self.d["e_hub_sid"] = jnp.asarray(g.e_hub_sid)
         if self.Hn:
             ha = g.n_hub_arcs
             self.d["n_hub"] = tuple(jnp.asarray(x) for x in (
                 ha, g.n_src[ha], g.n_dst[ha], g.n_w[ha]))
+            self.d["n_hub_states"] = jnp.asarray(g.n_hub_states)
+            self.d["n_hub_sid"] = jnp.asarray(g.n_hub_sid)
+            self.d["n_hub_la_pdf"] = jnp.asarray(g.n_hub_la_pdf)
+            self.d["n_hub_la_w"] = jnp.asarray(g.n_hub_la_w)
+        # eps in-CSR for backpointer resolution (TopKGraph._build_eps_incsr)
+        self.Di = max(g.max_in_deg, 1)
+        self.Hni = len(g.ni_hub_arcs)
+        if self.eps_iters > 0:
+            self.d["ni_off"] = jnp.asarray(g.ni_off)
+            self.d["ni_arc"] = jnp.asarray(g.ni_arc)
+            self.d["ni_is_hub"] = jnp.asarray(g.ni_is_hub)
+            self.d["n_src"] = jnp.asarray(g.n_src)
+            if self.Hni:
+                ha = g.ni_hub_arcs
+                self.d["ni_hub"] = tuple(jnp.asarray(x) for x in (
+                    ha, g.n_src[ha], g.n_dst[ha], g.n_w[ha]))
         self.d_e_pdf = self.d["e_pdf"]
         self.mesh = mesh
         self._jit_cache = {}
@@ -305,12 +379,15 @@ class TpuTopKDecoder:
         return (arc.reshape(-1), cdst.reshape(-1), ccost.reshape(-1),
                 slot.reshape(-1), ok.reshape(-1))
 
-    def _expand_hub(self, states, costs, hub):
+    def _expand_hub(self, states, costs, hub, hub_states, hub_sid):
         """Dense relaxation of the static hub arc tables: every hub arc
-        is a candidate; its source cost is a binary-search lookup in the
-        active set (miss -> BIG, pruned by recombine)."""
+        is a candidate; its source cost is a binary-search lookup of the
+        FEW distinct hub states (not per arc: 22.8 ms -> 2.9 ms at 90k
+        arcs), broadcast to arcs via the static arc->hub index."""
         arc, src, dst, w = hub[0], hub[1], hub[2], hub[3]
-        scost, sslot = _lookup(states, costs, src, BIG)
+        scost_s, sslot_s = _lookup(states, costs, hub_states, BIG)
+        scost = scost_s[hub_sid]
+        sslot = sslot_s[hub_sid]
         ok = (sslot >= 0) & (scost < BIG)
         cdst = jnp.where(ok, dst, INVALID)
         ccost = jnp.where(ok, scost + w, BIG)
@@ -327,8 +404,9 @@ class TpuTopKDecoder:
         cand = self._expand(states, costs, d["e_off"], d["e_dst"],
                             d["e_w"], self.De, d["e_is_hub"])
         if self.He:
-            cand = self._cat(cand, self._expand_hub(states, costs,
-                                                    d["e_hub"]))
+            cand = self._cat(cand, self._expand_hub(
+                states, costs, d["e_hub"], d["e_hub_states"],
+                d["e_hub_sid"]))
         return cand
 
     def _expand_eps(self, states, costs):
@@ -336,67 +414,120 @@ class TpuTopKDecoder:
         cand = self._expand(states, costs, d["n_off"], d["n_dst"],
                             d["n_w"], self.Dn, d["n_is_hub"])
         if self.Hn:
-            cand = self._cat(cand, self._expand_hub(states, costs,
-                                                    d["n_hub"]))
+            cand = self._cat(cand, self._expand_hub(
+                states, costs, d["n_hub"], d["n_hub_states"],
+                d["n_hub_sid"]))
         return cand
 
     # -- one frame ---------------------------------------------------------
-    def _la_fn(self, am_next):
-        """Acoustic-lookahead ranking closure over the NEXT frame's raw
-        acoustic costs (see TopKGraph._build_lookahead)."""
-        am_ext = jnp.concatenate(
-            [self.acoustic_scale * am_next,
-             jnp.zeros((1,), am_next.dtype)])
-        P = am_next.shape[0]
-        la_pdf, la_w = self.d["la_pdf"], self.d["la_w"]
+    def _am_ext(self, am_next):
+        """Scaled next-frame acoustic costs with a trailing 0 sentinel
+        (la_pdf -1 slots index it)."""
+        return jnp.concatenate([self.acoustic_scale * am_next,
+                                jnp.zeros((1,), am_next.dtype)])
 
-        def la(states):
-            s = jnp.where(states == INVALID, 0, states)
-            pdfs = la_pdf[s]
-            idx = jnp.where((pdfs < 0) | (pdfs >= P), P, pdfs)
-            v = jnp.min(la_w[s] + am_ext[idx], axis=-1)
-            return jnp.where(states == INVALID, np.float32(0.0),
-                             jnp.minimum(v, BIG))
-        return la
+    def _la_states(self, states, am_ext):
+        """Dynamic acoustic lookahead for a state set (random gather
+        over the [S, W+1] tables — keep the set small; hub arcs use the
+        pre-gathered static rows via _la_hub instead)."""
+        P = am_ext.shape[0] - 1
+        s = jnp.where(states == INVALID, 0, states)
+        pdfs = self.d["la_pdf"][s]
+        idx = jnp.where((pdfs < 0) | (pdfs >= P), P, pdfs)
+        v = jnp.min(self.d["la_w"][s] + am_ext[idx], axis=-1)
+        return jnp.where(states == INVALID, np.float32(0.0),
+                         jnp.minimum(v, BIG))
 
-    def _eps_fixpoint(self, fs, fc, la_of=None):
+    def _la_hub(self, am_ext):
+        """Lookahead of the (static) eps hub arc destinations: only a
+        small-table gather over am_ext at runtime."""
+        P = am_ext.shape[0] - 1
+        pdfs = self.d["n_hub_la_pdf"]
+        idx = jnp.where((pdfs < 0) | (pdfs >= P), P, pdfs)
+        return jnp.minimum(
+            jnp.min(self.d["n_hub_la_w"] + am_ext[idx], axis=-1), BIG)
+
+    def _eps_fixpoint(self, fs, fc, am_ext=None):
+        d = self.d
         for _ in range(self.eps_iters):
-            arc, cdst, ccost, _, _ = self._expand_eps(fs, fc)
-            alldst = jnp.concatenate([fs, cdst])
-            allcost = jnp.concatenate([fc, ccost])
-            fs, fc = _recombine_topk(alldst, allcost, (), self.K,
-                                     self.beam, la_of)
+            cand = self._expand(fs, fc, d["n_off"], d["n_dst"],
+                                d["n_w"], self.Dn, d["n_is_hub"])
+            dsts = [fs, cand[1]]
+            costs = [fc, cand[2]]
+            las = None
+            if am_ext is not None:
+                las = [self._la_states(fs, am_ext),
+                       self._la_states(cand[1], am_ext)]
+            if self.Hn:
+                hub = self._expand_hub(fs, fc, d["n_hub"],
+                                       d["n_hub_states"],
+                                       d["n_hub_sid"])
+                dsts.append(hub[1])
+                costs.append(hub[2])
+                if am_ext is not None:
+                    las.append(self._la_hub(am_ext))
+            fs, fc = _recombine_topk(
+                jnp.concatenate(dsts), jnp.concatenate(costs), (),
+                self.K, self.beam,
+                None if las is None else jnp.concatenate(las))
         return fs, fc
 
-    def _resolve_bp(self, fs, fc, es, ec, e_bp_arc, e_bp_prev,
-                    eps_cand=None, eps_dcost=None, eps_dslot=None):
+    def _resolve_bp(self, fs, fc, es, ec, e_bp_arc, e_bp_prev):
         """Post-fixpoint backpointer pass: each surviving token is traced
         either to the emitting set (same state, same cost) or to the eps
         in-arc from another surviving token that achieves its cost.
-        ``eps_cand``/``eps_dcost``/``eps_dslot``: the eps expansion of
-        (fs, fc) and the destination lookup, precomputed by the caller
-        so _frame shares them with _lattice_records instead of paying
-        the expansion + lookup twice per frame."""
+        The eps case checks each token's OWN eps in-arcs via the
+        by-destination CSR (a [K, Di] windowed gather + one [K*Di]
+        lookup) instead of re-expanding and scattering the full eps
+        candidate set through segment-min reductions (97k-candidate
+        lookup + 2 segment-mins ~ 50 ms at bench scale -> ~8 ms); in-hub
+        destinations (huge eps in-degree, e.g. LM backoff states) keep
+        the dense segment-min path over their static in-arc table."""
         tol = np.float32(1e-3)
         # case a: token unchanged since the emitting step
         ecost_at, eslot = _lookup(es, ec, fs, BIG)
         emit_hit = jnp.abs(ecost_at - fc) <= tol
+        K = self.K
         # case b: eps arc from another final token
         if self.eps_iters > 0:
-            if eps_cand is None:
-                eps_cand = self._expand_eps(fs, fc)
-                eps_dcost, eps_dslot = _lookup(fs, fc, eps_cand[1], BIG)
-            arc, cdst, ccost, srcslot, ok = eps_cand
-            dcost_at, dslot = eps_dcost, eps_dslot
-            match = ok & (jnp.abs(ccost - dcost_at) <= tol) & (dslot >= 0)
-            seg = jnp.where(match, dslot, self.K).astype(jnp.int32)
-            best_arc = jax.ops.segment_min(
-                jnp.where(match, arc, INVALID), seg,
-                num_segments=self.K + 1)[:self.K]
-            win = match & (arc == best_arc[jnp.where(dslot >= 0, dslot, 0)])
-            best_src = jax.ops.segment_min(
-                jnp.where(win, srcslot, INVALID), seg,
-                num_segments=self.K + 1)[:self.K]
+            d = self.d
+            valid = fs != INVALID
+            sc = jnp.where(valid, fs, 0)
+            base = d["ni_off"][sc]
+            deg = d["ni_off"][sc + 1] - base
+            Di = self.Di
+            j = jax.lax.broadcasted_iota(jnp.int32, (K, Di), 1)
+            hi = max(int(self.g.num_eps_arcs) - 1, 0)
+            arc = d["ni_arc"][jnp.clip(base[:, None] + j, 0, hi)]
+            ok = ((j < deg[:, None]) & valid[:, None]
+                  & ~d["ni_is_hub"][sc][:, None])
+            src = jnp.where(ok, d["n_src"][arc], INVALID)
+            scost, sslot = _lookup(fs, fc, src, BIG)
+            match = ok & (sslot >= 0) & (jnp.abs(
+                scost + d["n_w"][arc] - fc[:, None]) <= tol)
+            arc_m = jnp.where(match, arc, INVALID)
+            pos = jnp.argmin(arc_m, axis=1)            # min arc id wins
+            best_arc = jnp.take_along_axis(arc_m, pos[:, None], 1)[:, 0]
+            best_src = jnp.take_along_axis(
+                jnp.where(match, sslot, INVALID), pos[:, None], 1)[:, 0]
+            if self.Hni:
+                ha, hsrc, hdst, hw = d["ni_hub"]
+                hscost, hslot = _lookup(fs, fc, hsrc, BIG)
+                hdcost, hdslot = _lookup(fs, fc, hdst, BIG)
+                hmatch = ((hslot >= 0) & (hdslot >= 0) & (jnp.abs(
+                    hscost + hw - hdcost) <= tol))
+                seg = jnp.where(hmatch, hdslot, K).astype(jnp.int32)
+                h_arc = jax.ops.segment_min(
+                    jnp.where(hmatch, ha, INVALID), seg,
+                    num_segments=K + 1)[:K]
+                win = hmatch & (ha == h_arc[
+                    jnp.where(hdslot >= 0, hdslot, 0)])
+                h_src = jax.ops.segment_min(
+                    jnp.where(win, hslot, INVALID), seg,
+                    num_segments=K + 1)[:K]
+                is_ihub = d["ni_is_hub"][sc] & valid
+                best_arc = jnp.where(is_ihub, h_arc, best_arc)
+                best_src = jnp.where(is_ihub, h_src, best_src)
             eps_hit = best_arc != INVALID
         else:
             eps_hit = jnp.zeros_like(fs, dtype=bool)
@@ -479,22 +610,21 @@ class TpuTopKDecoder:
         emit_cand = (arc, cdst, ccost, srcslot, ok)
         es, ec, e_arc, e_prev = _recombine_topk(
             cdst, ccost, (arc, srcslot), self.K, self.beam)
-        fs, fc = self._eps_fixpoint(es, ec, self._la_fn(am_next_row))
-        if self.eps_iters > 0:
-            eps_cand = self._expand_eps(fs, fc)
-            eps_dcost, eps_dslot = _lookup(fs, fc, eps_cand[1], BIG)
-        else:
-            eps_cand = eps_dcost = eps_dslot = None
+        fs, fc = self._eps_fixpoint(es, ec, self._am_ext(am_next_row))
         if a_lat:
             # lattice variant: the assembled lattice never reads
             # backpointers (best path comes from the lattice itself), so
             # the whole _resolve_bp pass is skipped
+            if self.eps_iters > 0:
+                eps_cand = self._expand_eps(fs, fc)
+                eps_dcost, eps_dslot = _lookup(fs, fc, eps_cand[1], BIG)
+            else:
+                eps_cand = eps_dcost = eps_dslot = None
             e_rec = self._emit_records(fs, fc, emit_cand, a_lat)
             n_rec = self._eps_records(eps_cand, eps_dcost, eps_dslot,
                                       a_lat)
             return (fs, fc) + e_rec + n_rec
-        bp_arc, bp_prev = self._resolve_bp(fs, fc, es, ec, e_arc, e_prev,
-                                           eps_cand, eps_dcost, eps_dslot)
+        bp_arc, bp_prev = self._resolve_bp(fs, fc, es, ec, e_arc, e_prev)
         return (fs, fc, bp_arc, bp_prev)
 
     # -- full decode -------------------------------------------------------
@@ -508,7 +638,7 @@ class TpuTopKDecoder:
             frame's acoustics (per utterance, so vmapped over batch)."""
             s0 = jnp.full((K,), INVALID, jnp.int32).at[0].set(self.g.start)
             c0 = jnp.full((K,), BIG).at[0].set(0.0)
-            fs0, fc0 = self._eps_fixpoint(s0, c0, self._la_fn(am_row0))
+            fs0, fc0 = self._eps_fixpoint(s0, c0, self._am_ext(am_row0))
             if a_lat:
                 if self.eps_iters > 0:
                     eps_cand0 = self._expand_eps(fs0, fc0)
@@ -1017,25 +1147,55 @@ class TpuStreamingDecoder:
     acoustic-lookahead ranking needs frame t+1's row when pruning frame
     t, so one frame is held back per ``advance`` and flushed by
     ``finalize()`` using itself as lookahead — the offline scan's
-    shift-and-duplicate-last, reproduced incrementally.  Per-frame
-    history (top-K states/costs/backpointers) accumulates on the host
-    for partial and final traceback."""
+    shift-and-duplicate-last, reproduced incrementally.
+
+    Host memory is BOUNDED (ref: lattice-faster-decoder.cc keeps pruned
+    backpointers, not full frames — PruneActiveTokens): only a
+    traceback window of recent levels is retained.  Every
+    ``commit_every`` frames the decoder checks whether all live tokens
+    share a single ancestor token at an anchor level (each token's
+    Viterbi backpointer is unique, so once paths re-merge the surviving
+    ancestor IS unique); if so, the path segment up to that ancestor is
+    final regardless of future audio — its labels are committed, the
+    window is dropped up to the anchor, and partial/final traceback
+    walks only the committed labels plus the short window.  Endpoint
+    polling is therefore O(window), not O(stream).  The commit changes
+    nothing vs offline decode: only provably-final prefixes commit.
+    ``max_history`` (frames) optionally force-commits along the current
+    best token when genuinely parallel hypotheses keep the window from
+    converging — a hard memory bound at the cost of exactness in that
+    (pathological) case; default off."""
 
     def __init__(self, decoder: TpuTopKDecoder,
-                 frame_shift_sec: float = 0.01):
+                 frame_shift_sec: float = 0.01,
+                 commit_every: int = 24,
+                 max_history: Optional[int] = None,
+                 walk_limit: Optional[int] = None):
         self.dec = decoder
         self.frame_shift = frame_shift_sec
+        self.commit_every = int(commit_every)
+        self.max_history = max_history
+        # commit checks walk at most this many recent levels, keeping
+        # the per-check cost O(1) in the stream length even when live
+        # hypotheses refuse to converge (e.g. an effectively infinite
+        # beam keeps parallel token families alive forever)
+        self.walk_limit = (max(256, 8 * self.commit_every)
+                           if walk_limit is None else int(walk_limit))
         self._jit_frame = None
         self._jit_init = None
         self.reset()
 
     def reset(self) -> None:
         self._pending: Optional[np.ndarray] = None   # held-back raw row
-        self._hist: List[Tuple[np.ndarray, ...]] = []
-        self._am_rows: List[np.ndarray] = []
-        self._init_level: Optional[Tuple[np.ndarray, ...]] = None
-        self._state = None
+        self._state = None                           # (fs, fc) on device
         self.num_frames = 0                          # processed frames
+        # committed-prefix state (see class docstring)
+        self._frontier: Optional[Tuple[np.ndarray, ...]] = None
+        self._frontier_slot: int = 0
+        self._buf: List[Tuple[np.ndarray, ...]] = []  # levels after frontier
+        self._ctids: List[int] = []                   # committed labels
+        self._cwords: List[int] = []
+        self._since_check = 0
 
     def _jits(self):
         if self._jit_frame is None:
@@ -1051,7 +1211,7 @@ class TpuStreamingDecoder:
                 s0 = jnp.full((k,), INVALID, jnp.int32).at[0].set(
                     dec.g.start)
                 c0 = jnp.full((k,), BIG).at[0].set(0.0)
-                fs0, fc0 = dec._eps_fixpoint(s0, c0, dec._la_fn(am_row0))
+                fs0, fc0 = dec._eps_fixpoint(s0, c0, dec._am_ext(am_row0))
                 root = jnp.full((k,), -1, jnp.int32)
                 bp_a, bp_p = dec._resolve_bp(fs0, fc0, s0, c0, root, root)
                 return fs0, fc0, bp_a, bp_p
@@ -1079,36 +1239,203 @@ class TpuStreamingDecoder:
 
     def _step(self, am_row: np.ndarray, am_next_row: np.ndarray) -> None:
         frame_fn, init_fn = self._jits()
-        if self._init_level is None:
+        K = self.dec.K
+        if self._state is None:
             out = init_fn(jnp.asarray(am_row))
-            self._init_level = tuple(np.asarray(x) for x in out)
+            lvl = tuple(np.asarray(x) for x in out)
+            self._frontier = lvl + (None,)
+            root = np.nonzero((lvl[2] < 0)
+                              & (lvl[0] == self.dec.g.start))[0]
+            self._frontier_slot = int(root[0]) if len(root) else 0
             self._state = (out[0], out[1])
         outs = frame_fn(self._state[0], self._state[1],
                         jnp.asarray(am_row), jnp.asarray(am_next_row))
         self._state = (outs[0], outs[1])
-        self._hist.append(tuple(np.asarray(o) for o in outs))
-        self._am_rows.append(np.asarray(am_row))
+        lvl = tuple(np.asarray(o) for o in outs) + (np.asarray(am_row),)
+        self._buf.append(lvl)
         self.num_frames += 1
+        self._since_check += 1
+        if self._since_check >= self.commit_every:
+            self._since_check = 0
+            self._try_commit()
+        if self.max_history and len(self._buf) > self.max_history:
+            self._force_commit()
 
-    def _r(self):
-        r = {"init": tuple(x[None] for x in self._init_level)}
+    # -- committed-prefix machinery ---------------------------------------
+    def _collapse_eps(self, lvl, cur: np.ndarray) -> np.ndarray:
+        """Map token slots to their within-level eps-ROOT slot (a path
+        through an eps-descendant also passes through its root); broken
+        chains go to -1 only if an unresolved backpointer interrupts."""
+        _, _, ba, bp = lvl[:4]
+        hi = len(ba) - 1
+        n_e = self.dec.g.num_emitting_arcs
+        for _ in range(self.dec.eps_iters + 1):
+            a = ba[np.clip(cur, 0, hi)]
+            is_eps = (cur >= 0) & (a >= n_e)
+            if not is_eps.any():
+                break
+            cur = np.where(is_eps, bp[np.clip(cur, 0, hi)], cur)
+        return cur
+
+    def _emit_hop(self, lvl, cur: np.ndarray) -> np.ndarray:
+        """Map eps-root slots at one level to their emitting-predecessor
+        slots at the previous level (-1 when unresolved)."""
+        _, _, ba, bp = lvl[:4]
+        hi = len(ba) - 1
+        cur_c = np.clip(cur, 0, hi)
+        a = ba[cur_c]
+        n_e = self.dec.g.num_emitting_arcs
+        return np.where((cur >= 0) & (a >= 0) & (a < n_e), bp[cur_c], -1)
+
+    def _step_back(self, lvl, cur: np.ndarray) -> np.ndarray:
+        return self._emit_hop(lvl, self._collapse_eps(lvl, cur))
+
+    def _try_commit(self) -> None:
+        """Walk the live tokens' backpointer chains backward through the
+        window; the LATEST level at which all chains pass through one
+        token (an eps-root shared by every chain) is provably on the
+        final path no matter what audio follows — Viterbi backpointers
+        are unique per token, so merged paths stay merged — and the
+        prefix up to it commits."""
+        W = len(self._buf)
+        if W == 0:
+            return
+        valid = self._buf[-1][0] != INVALID
+        if not valid.any():
+            return
+        K = self.dec.K
+        cur = np.where(valid, np.arange(K), -1)
+        for i in range(W, max(W - self.walk_limit, -1), -1):
+            lvl = self._buf[i - 1] if i > 0 else self._frontier
+            cur = self._collapse_eps(lvl, cur)
+            if (cur[valid] < 0).any():     # a chain broke: cannot prove
+                return
+            u = np.unique(cur[valid])
+            if len(u) == 1:
+                self._commit_to(i, int(u[0]))
+                return
+            if i > 0:
+                cur = self._emit_hop(lvl, cur)
+                if (cur[valid] < 0).any():
+                    return
+
+    def _force_commit(self) -> None:
+        """max_history exceeded: commit along the CURRENT BEST token's
+        path even though other live tokens disagree (forced partial
+        traceback — bounded memory, approximate in the non-converging
+        case; see class docstring)."""
+        W = len(self._buf)
+        target = W - max(self.max_history // 2, 1)
+        if target < 0:
+            return
+        fs, fc = self._buf[-1][:2]
+        valid = fs != INVALID
+        if not valid.any():
+            return
+        s = np.asarray([int(np.argmin(np.where(valid, fc, BIG)))])
+        for i in range(W, target, -1):
+            s = self._step_back(self._buf[i - 1], s)
+            if s[0] < 0:
+                return
+        s = self._collapse_eps(
+            self._buf[target - 1] if target > 0 else self._frontier, s)
+        if s[0] < 0:
+            return
+        self._commit_to(target, int(s[0]))
+
+    def _commit_to(self, off: int, slot: int) -> None:
+        try:
+            tids, words = self._trace(off, slot)
+        except RuntimeError:
+            return          # rare unresolved chain: retry a later check
+        self._ctids.extend(tids)
+        self._cwords.extend(words)
+        if off > 0:
+            self._frontier = self._buf[off - 1]
+            self._buf = self._buf[off:]
+        self._frontier_slot = slot
+
+    def _level_host(self, i: int) -> Tuple[np.ndarray, ...]:
+        """Window level i: 0 = the committed frontier, i = _buf[i-1]."""
+        return self._frontier if i == 0 else self._buf[i - 1]
+
+    def _trace(self, i: int, slot: int
+               ) -> Tuple[List[int], List[int]]:
+        """Backpointer walk from (window level i, slot) back to the
+        committed frontier token; forward-order (tids, words)."""
+        g = self.dec.g
+        n_e = g.num_emitting_arcs
+        tids_r: List[int] = []
+        words_r: List[int] = []
+        guard, limit = 0, (i + 2) * (self.dec.eps_iters + 2) + 16
+        while not (i == 0 and slot == self._frontier_slot):
+            guard += 1
+            if guard > limit:
+                raise RuntimeError("streaming traceback loop")
+            _, _, ba, bp = self._level_host(i)[:4]
+            a, p = int(ba[slot]), int(bp[slot])
+            if a < 0 or (i == 0 and a < n_e):
+                if i == 0:
+                    raise RuntimeError(
+                        "streaming traceback: chain does not reach the "
+                        "commit frontier")
+                slot, i2, tids2, words2 = self._window_fix(i, slot)
+                i = i2
+                tids_r.extend(tids2)
+                words_r.extend(words2)
+                continue
+            if a >= n_e:
+                a -= n_e
+                if g.n_olabel[a] > 0:
+                    words_r.append(int(g.n_olabel[a]))
+                slot = p
+            else:
+                tids_r.append(int(g.e_ilabel[a]))
+                if g.e_olabel[a] > 0:
+                    words_r.append(int(g.e_olabel[a]))
+                slot = p
+                i -= 1
+        return tids_r[::-1], words_r[::-1]
+
+    def _window_fix(self, i: int, slot: int):
+        """Host repair of an unresolved backpointer inside the window
+        (the streaming analogue of TpuTopKDecoder._host_fix; window
+        level 0 — the committed frontier — plays the init role)."""
+        levels = [self._level_host(j)
+                  for j in range(len(self._buf) + 1)]
+        r = {"init": tuple(x[None] for x in levels[0][:4])}
         for j, name in enumerate(("fs", "fc", "bp_arc", "bp_prev")):
-            r[name] = np.stack([h[j] for h in self._hist])[:, None] \
-                if self._hist else np.zeros(
-                    (0, 1) + self._init_level[j].shape,
-                    self._init_level[j].dtype)
-        return r
+            r[name] = np.stack([lv[j] for lv in levels[1:]])[:, None]
+        am = np.stack([lv[4] for lv in levels[1:]])[None]
+        return self.dec._host_fix(r, am, i, 0, slot)
 
     def best_path(self, use_final: bool = True
                   ) -> Tuple[np.ndarray, np.ndarray, float]:
         """Current best (tids, words, cost) over the processed frames —
-        partial traceback mid-stream, final result after finalize()."""
-        if self._init_level is None:
+        committed prefix + traceback over the retained window only."""
+        if self._state is None:
             return (np.zeros(0, np.int32), np.zeros(0, np.int32),
                     float("inf"))
-        am = np.stack(self._am_rows)[None]
-        return self.dec._best_path(self._r(), am, self.num_frames, 0,
-                                   use_final=use_final)
+        g = self.dec.g
+        fs, fc = self._level_host(len(self._buf))[:2]
+        valid = fs != INVALID
+        if not valid.any():
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                    float("inf"))
+        if use_final:
+            total = np.where(valid, fc + g.final[np.where(valid, fs, 0)],
+                             BIG)
+        else:
+            total = np.where(valid, fc, BIG)
+        slot = int(np.argmin(total))
+        cost = float(total[slot])
+        if cost >= BIG:      # no final state reached: best active token
+            total = np.where(valid, fc, BIG)
+            slot = int(np.argmin(total))
+            cost = float(total[slot])
+        tids, words = self._trace(len(self._buf), slot)
+        return (np.asarray(self._ctids + tids, np.int32),
+                np.asarray(self._cwords + words, np.int32), cost)
 
     # -- endpointing (same rules as the host online decoder) --------------
     def trailing_silence_frames(self, trans_model, silence_phone: int
@@ -1142,7 +1469,7 @@ class TpuStreamingDecoder:
         if said_something or not r.must_contain_nonsilence:
             if (trailing_sec >= r.min_trailing_silence_sec
                     and utt_sec >= r.min_utterance_length_sec):
-                fs, fc, _, _ = self._level(self._r(), t, 0)
+                fs, fc = self._level_host(len(self._buf))[:2]
                 valid = fs != INVALID
                 if valid.any():
                     final = self.dec.g.final[np.where(valid, fs, 0)]
@@ -1155,9 +1482,6 @@ class TpuStreamingDecoder:
         if utt_sec >= config.max_utterance_length_sec:
             return True
         return False
-
-    def _level(self, r, t, b):
-        return self.dec._level(r, t, b)
 
 
 # ---------------------------------------------------------------------------

@@ -224,3 +224,42 @@ def test_online_recognizer_with_tpu_decoder(decode_setup):
         max_active=0)
     assert list(words) == list(words_o)
     assert cost == pytest.approx(cost_o, abs=1e-2)
+
+
+def test_tpu_streaming_decoder_bounded_long_stream(decode_setup):
+    """Round-3 VERDICT item 6 'done' bar: a long (>=60 s) stream keeps
+    the streaming decoder's host state bounded — the traceback window
+    commits converged prefixes and drops history — while endpoint-style
+    polling (best_path per chunk) walks only the window, and the final
+    result still exactly matches offline decode of the same rows."""
+    from kaldi_cnn_tpu.decode.topk_decoder import (
+        TpuStreamingDecoder, TpuTopKDecoder)
+    corpus, feats, lang, am, hclg = decode_setup
+    # 60+ seconds of audio: loop real utterance loglikes end to end
+    rows = np.concatenate(
+        [am.loglikes(feats[u]) for u in sorted(feats)] * 6)
+    rows = rows[:6100]
+    assert rows.shape[0] * 0.01 >= 60.0
+    # a REAL pruning beam: commits rely on beam pruning killing losing
+    # token families so live paths converge (an infinite beam keeps
+    # every state alive forever, and nothing can ever provably commit)
+    dec = TpuTopKDecoder(hclg, beam=30.0, max_active=hclg.num_states + 32,
+                         acoustic_scale=0.1)
+    stream = TpuStreamingDecoder(dec, commit_every=16)
+    max_window = 0
+    chunk = 25
+    for i in range(0, rows.shape[0], chunk):
+        stream.advance(rows[i:i + chunk])
+        stream.best_path(use_final=False)     # endpoint-style polling
+        max_window = max(max_window, len(stream._buf))
+    stream.finalize()
+    tids, words, cost = stream.best_path()
+    # the window stayed a small constant fraction of the stream
+    assert max_window <= 8 * stream.commit_every, max_window
+    assert len(stream._buf) <= 8 * stream.commit_every
+    # committed prefix did the work: most of the stream was dropped
+    assert len(stream._ctids) >= 0.9 * len(tids)
+    ((tids_o, words_o, cost_o),) = dec.decode_batch([rows])
+    assert list(words) == list(words_o)
+    assert list(tids) == list(tids_o)
+    assert cost == pytest.approx(cost_o, rel=1e-5)
