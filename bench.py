@@ -221,7 +221,7 @@ def decode_bench() -> dict:
     # bench measures what recipes/latgen-faster actually run
     mixed = {f"utt{i:02d}": sample_loglikes(
         g, P, T=(100 if i % 2 else 200), seed=100 + i)
-        for i in range(B)}
+        for i in range(2 * B)}     # 16 per length bucket = full batches
     mixed_audio_s = sum(x.shape[0] for x in mixed.values()) \
         / FRAMES_PER_SECOND
     decode_utterances(g, mixed, acoustic_scale=1.0, beam=15.0,

@@ -78,16 +78,44 @@ class Lattice:
         a python loop over arcs."""
         if getattr(self, "_lv_cache", None) is not None:
             return self._lv_cache
-        depth = np.zeros(self.num_states, np.int64)
-        for _ in range(self.num_states + 1):
-            upd = np.zeros(self.num_states, np.int64)
-            np.maximum.at(upd, self.arc_dst, depth[self.arc_src] + 1)
-            new = np.maximum(depth, upd)
-            if (new == depth).all():
-                break
-            depth = new
+        # fast path for decoder-emitted lattices: state_time already
+        # orders emitting arcs, so only the (shallow) within-time eps
+        # sub-DAG needs iterating — the generic longest-path loop below
+        # costs O(path_length) full-arc scatter rounds (~16 s per bench
+        # batch before this)
+        ts = self.state_time[self.arc_src].astype(np.int64)
+        td = self.state_time[self.arc_dst].astype(np.int64)
+        eps_same = (td == ts)
+        if self.num_arcs == 0:
+            depth = np.zeros(self.num_states, np.int64)
+        elif bool(np.all((td > ts) | (eps_same & (self.arc_ilabel == 0)))):
+            de = np.zeros(self.num_states, np.int64)
+            esel = np.nonzero(eps_same)[0]
+            esrc = self.arc_src[esel]
+            edst = self.arc_dst[esel]
+            for _ in range(self.num_states + 1):
+                upd = np.zeros(self.num_states, np.int64)
+                np.maximum.at(upd, edst, de[esrc] + 1)
+                new = np.maximum(de, upd)
+                if (new == de).all():
+                    break
+                de = new
+            else:
+                raise ValueError("lattice has an epsilon cycle")
+            stride = int(de.max()) + 1
+            depth = self.state_time.astype(np.int64) * stride + de
         else:
-            raise ValueError("lattice has a cycle")
+            depth = np.zeros(self.num_states, np.int64)
+            for _ in range(self.num_states + 1):
+                upd = np.zeros(self.num_states, np.int64)
+                np.maximum.at(upd, self.arc_dst,
+                              depth[self.arc_src] + 1)
+                new = np.maximum(depth, upd)
+                if (new == depth).all():
+                    break
+                depth = new
+            else:
+                raise ValueError("lattice has a cycle")
         order = np.argsort(depth[self.arc_src], kind="stable")
         src_depth_sorted = depth[self.arc_src][order]
         max_d = int(depth.max()) if self.num_states else 0
@@ -340,12 +368,24 @@ def determinize_lattice(lat: Lattice, lm_scale: float = 1.0,
     arc_by_src: Dict[int, List[int]] = {}
     for a in range(lat.num_arcs):
         arc_by_src.setdefault(int(lat.arc_src[a]), []).append(a)
-    heap = [(float(bwd[lat.start]), 0.0, lat.start, (), ())]
+    # heap entries carry a monotonic tiebreak so comparisons never
+    # descend into the word/arc tuples, and (state, word-history)
+    # dominance pruning keeps only the best alignment per subset-state
+    # — the on-the-fly pruning DeterminizeLatticePruned gets from its
+    # subset construction, which is what bounds the pop count
+    heap = [(float(bwd[lat.start]), 0, 0.0, lat.start, (), ())]
     best_by_words: Dict[Tuple, Tuple[float, Tuple[int, ...]]] = {}
+    seen: Dict[Tuple, float] = {}
     pops = 0
+    tie = 0
     while heap and len(best_by_words) < max_paths and pops < 200000:
-        f, g, s, words, arcs = heapq.heappop(heap)
+        f, _, g, s, words, arcs = heapq.heappop(heap)
         pops += 1
+        key = (s, words)
+        prev = seen.get(key)
+        if prev is not None and g > prev + 1e-9:
+            continue                       # dominated alignment
+        seen[key] = g if prev is None else min(prev, g)
         if np.isfinite(fin[s]):
             tot = g + float(fin[s])
             if words not in best_by_words:
@@ -355,7 +395,12 @@ def determinize_lattice(lat: Lattice, lm_scale: float = 1.0,
             ng = g + float(w[a])
             nw = words + ((int(lat.arc_olabel[a]),)
                           if lat.arc_olabel[a] > 0 else ())
-            heapq.heappush(heap, (ng + float(bwd[d]), ng, d, nw,
+            nkey = (d, nw)
+            nprev = seen.get(nkey)
+            if nprev is not None and ng > nprev + 1e-9:
+                continue
+            tie += 1
+            heapq.heappush(heap, (ng + float(bwd[d]), tie, ng, d, nw,
                                   arcs + (a,)))
     # rebuild a union-of-paths lattice (prefix-shared)
     return _paths_to_lattice(lat, best_by_words)

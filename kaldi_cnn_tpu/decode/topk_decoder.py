@@ -562,15 +562,52 @@ class TpuTopKDecoder:
         keep = ok & (dslot >= 0) & (ccost <= dcost + lbeam)
         return self._compact(keep, (srcslot, dslot, arc), a_lat)
 
-    def _eps_records(self, eps_cand, eps_dcost, eps_dslot, a_lat):
-        """Same-level eps-arc records (same per-dst lattice-beam cut)."""
-        if eps_cand is None:
+    def _eps_records(self, fs, fc, a_lat):
+        """Same-level eps-arc records (same per-dst lattice-beam cut),
+        built from the by-DESTINATION in-CSR: each surviving token
+        gathers its own eps in-arcs ([K, Di] window + dense in-hub
+        table) and tests the source against the active set — K*Di
+        candidates instead of the full out-expansion (K*Dn + all hub
+        arcs), which cost a 97k-query lookup per frame at bench scale
+        (54 of 100 ms/frame)."""
+        if self.eps_iters == 0:
             z = jnp.full((a_lat,), -1, jnp.int32)
             return (z, z, z, jnp.int32(0))
         lbeam = np.float32(self.lattice_beam)
-        arc, cdst, ccost, srcslot, ok = eps_cand
-        keep = ok & (eps_dslot >= 0) & (ccost <= eps_dcost + lbeam)
-        return self._compact(keep, (srcslot, eps_dslot, arc), a_lat)
+        d = self.d
+        K = self.K
+        valid = fs != INVALID
+        sc = jnp.where(valid, fs, 0)
+        base = d["ni_off"][sc]
+        deg = d["ni_off"][sc + 1] - base
+        Di = self.Di
+        j = jax.lax.broadcasted_iota(jnp.int32, (K, Di), 1)
+        hi = max(int(self.g.num_eps_arcs) - 1, 0)
+        arc = d["ni_arc"][jnp.clip(base[:, None] + j, 0, hi)]
+        ok = ((j < deg[:, None]) & valid[:, None]
+              & ~d["ni_is_hub"][sc][:, None])
+        src = jnp.where(ok, d["n_src"][arc], INVALID)
+        scost, sslot = _lookup(fs, fc, src, BIG)
+        keep = ok & (sslot >= 0) & (
+            scost + d["n_w"][arc] <= fc[:, None] + lbeam)
+        dslot = jax.lax.broadcasted_iota(jnp.int32, (K, Di), 0)
+        keeps = [keep.reshape(-1)]
+        srcs = [sslot.reshape(-1)]
+        dsts = [dslot.reshape(-1)]
+        arcs = [arc.reshape(-1)]
+        if self.Hni:
+            ha, hsrc, hdst, hw = d["ni_hub"]
+            hscost, hslot = _lookup(fs, fc, hsrc, BIG)
+            hdcost, hdslot = _lookup(fs, fc, hdst, BIG)
+            keeps.append((hslot >= 0) & (hdslot >= 0)
+                         & (hscost + hw <= hdcost + lbeam))
+            srcs.append(hslot)
+            dsts.append(hdslot)
+            arcs.append(ha)
+        return self._compact(
+            jnp.concatenate(keeps),
+            (jnp.concatenate(srcs), jnp.concatenate(dsts),
+             jnp.concatenate(arcs)), a_lat)
 
     @staticmethod
     def _compact(mask, arrays, out_len):
@@ -615,14 +652,8 @@ class TpuTopKDecoder:
             # lattice variant: the assembled lattice never reads
             # backpointers (best path comes from the lattice itself), so
             # the whole _resolve_bp pass is skipped
-            if self.eps_iters > 0:
-                eps_cand = self._expand_eps(fs, fc)
-                eps_dcost, eps_dslot = _lookup(fs, fc, eps_cand[1], BIG)
-            else:
-                eps_cand = eps_dcost = eps_dslot = None
             e_rec = self._emit_records(fs, fc, emit_cand, a_lat)
-            n_rec = self._eps_records(eps_cand, eps_dcost, eps_dslot,
-                                      a_lat)
+            n_rec = self._eps_records(fs, fc, a_lat)
             return (fs, fc) + e_rec + n_rec
         bp_arc, bp_prev = self._resolve_bp(fs, fc, es, ec, e_arc, e_prev)
         return (fs, fc, bp_arc, bp_prev)
@@ -640,15 +671,7 @@ class TpuTopKDecoder:
             c0 = jnp.full((K,), BIG).at[0].set(0.0)
             fs0, fc0 = self._eps_fixpoint(s0, c0, self._am_ext(am_row0))
             if a_lat:
-                if self.eps_iters > 0:
-                    eps_cand0 = self._expand_eps(fs0, fc0)
-                    eps_dcost0, eps_dslot0 = _lookup(
-                        fs0, fc0, eps_cand0[1], BIG)
-                else:
-                    eps_cand0 = eps_dcost0 = eps_dslot0 = None
-                n_rec0 = self._eps_records(eps_cand0, eps_dcost0,
-                                           eps_dslot0, a_lat)
-                return (fs0, fc0), n_rec0
+                return (fs0, fc0), self._eps_records(fs0, fc0, a_lat)
             root_arc = jnp.full((K,), -1, jnp.int32)
             bp0_arc, bp0_prev = self._resolve_bp(
                 fs0, fc0, s0, c0, root_arc, root_arc)
@@ -985,31 +1008,82 @@ class TpuTopKDecoder:
         used before crossing, the state history crosses as a 1-byte
         validity mask (assembly only needs which slots are alive), and
         only the per-utterance FINAL level's states cross in full (for
-        final weights).  At recipe-typical record counts this is
-        ~30-100x less than shipping the raw [T, B, A_lat] buffers."""
+        final weights).  The whole preparation runs as ONE jitted
+        call + ONE device_get: eager slicing per array cost a ~0.1-0.4 s
+        dispatch floor each over the tunnel (measured: ~20 s of a 52 s
+        decode was fetch overhead)."""
         B = len(lengths)
-        cap = self.A_lat
-        used = max(1, int(min(e_cnt.max(initial=0), cap)),
-                   int(min(n_cnt.max(initial=0), cap)),
-                   int(min(i_cnt.max(initial=0), cap)))
-        a_eff = min(cap, -(-used // 512) * 512)    # coarse steps: few
-        #                                            distinct slice shapes
-        fs_all = jnp.concatenate([r["init"][0][None], r["fs"]], 0)
-        valid = np.asarray(jax.device_get(
-            (fs_all[:, :B] != INVALID).astype(jnp.uint8)))  # [T+1,B,K]
-        fsT = np.asarray(jax.device_get(jax.vmap(
-            lambda a, t: jax.lax.dynamic_index_in_dim(a, t, 0, False),
-            in_axes=(1, 0))(fs_all[:, :B], jnp.asarray(lengths))))
-        fetch = {
-            "e_rec": tuple(np.asarray(jax.device_get(x[:, :B, :a_eff]))
-                           for x in r["e_rec"][:3]) + (e_cnt,),
-            "n_rec": tuple(np.asarray(jax.device_get(x[:, :B, :a_eff]))
-                           for x in r["n_rec"][:3]) + (n_cnt,),
-            "init_eps": tuple(np.asarray(jax.device_get(x[:B, :a_eff]))
-                              for x in r["init_eps"][:3]) + (i_cnt,),
-            "valid": valid, "fsT": fsT,
-        }
-        return fetch
+        A = int(self.A_lat)
+        # exact per-utterance stored-record totals (counts are already
+        # on the host), so the transfer is sized by the DATA, not by
+        # T * max-frame-count: early frames of a wide beam emit
+        # thousands of near-tie records and inflated the per-frame
+        # layout to ~800 MB / batch at bench scale (16.5 s of tunnel)
+        Ls = lengths.astype(np.int64)
+        msk = np.arange(e_cnt.shape[0])[:, None] < Ls[None, :]
+        ce = int((np.minimum(e_cnt, A) * msk).sum(0).max(initial=0))
+        cn = int((np.minimum(n_cnt, A) * msk).sum(0).max(initial=0)
+                 + np.minimum(i_cnt, A).max(initial=0))
+        ce = max(-(-max(ce, 1) // 4096) * 4096, 4096)
+        cn = max(-(-max(cn, 1) // 4096) * 4096, 4096)
+        T = r["fs"].shape[0]
+        key = ("fetch", B, T, ce, cn)
+        if key not in self._jit_cache:
+            def compress(src, dst, arc, cnts, lvl0, L, cap):
+                """[Trows, A] records -> flat [cap] (src, dst, arc,
+                level) with -1 padding; level = row + lvl0."""
+                rows = src.shape[0]
+                lvl = jax.lax.broadcasted_iota(jnp.int32, (rows, A), 0)
+                j = jax.lax.broadcasted_iota(jnp.int32, (rows, A), 1)
+                ok = ((j < jnp.minimum(cnts[:, None], A))
+                      & (lvl + lvl0 <= L) & (src >= 0) & (dst >= 0))
+                take = min(cap, rows * A)
+                order = jnp.argsort(jnp.logical_not(ok).ravel(),
+                                    stable=True)[:take]
+                n = jnp.minimum(jnp.sum(ok), take)
+                live = jnp.arange(take) < n
+                pad = cap - take
+                out = tuple(jnp.pad(jnp.where(live, x.ravel()[order], -1),
+                                    (0, pad), constant_values=-1)
+                            for x in (src, dst, arc, lvl + lvl0))
+                return out, n
+
+            def fetch_impl(init_fs, fs, e_rec, n_rec, i_rec, i_c, lens):
+                fs_all = jnp.concatenate([init_fs[None], fs], 0)[:, :B]
+                fsT = jax.vmap(lambda a, t: jax.lax.dynamic_index_in_dim(
+                    a, t, 0, False), in_axes=(1, 0))(fs_all, lens)
+
+                def per_utt(e3, n3, i3, ic, L):
+                    # emit rows: frame i holds arcs into level i+1
+                    e_out, e_n = compress(e3[0], e3[1], e3[2], e3[3],
+                                          1, L, ce)
+                    nsrc = jnp.concatenate([i3[0][None], n3[0]])
+                    ndst = jnp.concatenate([i3[1][None], n3[1]])
+                    narc = jnp.concatenate([i3[2][None], n3[2]])
+                    ncnt = jnp.concatenate([ic[None], n3[3]])
+                    n_out, n_n = compress(nsrc, ndst, narc, ncnt,
+                                          0, L, cn)
+                    return e_out, e_n, n_out, n_n
+
+                e_all = tuple(jnp.moveaxis(x, 1, 0) for x in e_rec)
+                n_all = tuple(jnp.moveaxis(x, 1, 0) for x in n_rec)
+                return jax.vmap(per_utt)(
+                    e_all, n_all, i_rec, i_c, lens), fsT
+            self._jit_cache[key] = jax.jit(fetch_impl)
+        (e_out, e_n, n_out, n_n), fsT = jax.device_get(
+            self._jit_cache[key](
+                r["init"][0], r["fs"],
+                tuple(x[:, :B] for x in r["e_rec"][:3])
+                + (r["e_rec"][3][:, :B],),
+                tuple(x[:, :B] for x in r["n_rec"][:3])
+                + (r["n_rec"][3][:, :B],),
+                tuple(x[:B] for x in r["init_eps"][:3]),
+                r["init_eps"][3][:B], jnp.asarray(lengths)))
+        return {"e": tuple(np.asarray(x) for x in e_out)
+                + (np.asarray(e_n),),
+                "n": tuple(np.asarray(x) for x in n_out)
+                + (np.asarray(n_n),),
+                "fsT": np.asarray(fsT)}
 
     def decode_batch_lattice(self, loglikes: List[np.ndarray],
                              determinize: bool = True,
@@ -1065,57 +1139,66 @@ class TpuTopKDecoder:
 
     def _assemble_lattice(self, fetch, am, T, b) -> Lattice:
         """Builds one utterance's Lattice from the minimized host fetch
-        (validity mask + truncated record buffers, _fetch_lattice_run)."""
+        (validity mask + truncated record buffers, _fetch_lattice_run).
+        Fully vectorized over levels — the per-level Python loop cost
+        ~22 s per 16-utterance batch at bench scale."""
         g = self.g
         K = self.K
-        # node numbering: level-major over valid slots
-        vmask = fetch["valid"][:T + 1, b].astype(bool)      # [T+1, K]
-        node = np.full((T + 1, K), -1, np.int64)
-        times = []
-        nid = 0
-        for t in range(T + 1):
-            valid = np.nonzero(vmask[t])[0]
-            node[t, valid] = np.arange(nid, nid + len(valid))
-            nid += len(valid)
-            times.extend([t] * len(valid))
-        a_src, a_dst, a_il, a_ol, a_gw, a_ac = [], [], [], [], [], []
+        # compact per-utterance records (flat, -1-padded; see
+        # _fetch_lattice_run): emit entries carry their DST level,
+        # eps entries their (same-src/dst) level
+        esb, edb, eab, elv = (x[b][:int(fetch["e"][4][b])]
+                              for x in fetch["e"][:4])
+        nsb, ndb, nab, nlv = (x[b][:int(fetch["n"][4][b])]
+                              for x in fetch["n"][:4])
+        esb_c = np.clip(esb, 0, K - 1)
+        edb_c = np.clip(edb, 0, K - 1)
+        nsb_c = np.clip(nsb, 0, K - 1)
+        ndb_c = np.clip(ndb, 0, K - 1)
 
-        def add_eps(t, src_s, dst_s, arcs, cnt):
-            m = np.arange(len(arcs)) < cnt
-            m &= (node[t, np.clip(src_s, 0, K - 1)] >= 0) & \
-                 (node[t, np.clip(dst_s, 0, K - 1)] >= 0) & (src_s >= 0) \
-                 & (dst_s >= 0)
-            sel = np.nonzero(m)[0]
-            a_src.append(node[t, src_s[sel]])
-            a_dst.append(node[t, dst_s[sel]])
-            a_il.append(np.zeros(len(sel), np.int32))
-            a_ol.append(g.n_olabel[arcs[sel]])
-            a_gw.append(g.n_w[arcs[sel]])
-            a_ac.append(np.zeros(len(sel), np.float32))
+        # number ONLY tokens that appear as a record endpoint (every
+        # beam-surviving token's achieving arc is itself a record, so
+        # connected tokens are covered; the rest — possibly millions of
+        # beam-survivors at K=7000 — would only bloat prune_lattice)
+        used = np.zeros((T + 1, K), bool)
+        used[elv - 1, esb_c] = True
+        used[elv, edb_c] = True
+        used[nlv, nsb_c] = True
+        used[nlv, ndb_c] = True
+        fsT = fetch["fsT"][b]
+        if not (len(esb) or len(nsb)):      # nothing survived: empty
+            return Lattice(
+                num_states=1, start=0,
+                state_time=np.zeros(1, np.int32),
+                arc_src=np.zeros(0, np.int32),
+                arc_dst=np.zeros(0, np.int32),
+                arc_ilabel=np.zeros(0, np.int32),
+                arc_olabel=np.zeros(0, np.int32),
+                arc_graph=np.zeros(0, np.float32),
+                arc_acoustic=np.zeros(0, np.float32),
+                final_graph=np.zeros(1, np.float32))
+        flat = used.ravel()
+        node = np.where(flat, np.cumsum(flat) - 1, -1).reshape(T + 1, K)
+        nid = max(int(flat.sum()), 1)
+        times = np.repeat(np.arange(T + 1), used.sum(axis=1))
 
-        ie = fetch["init_eps"]
-        add_eps(0, ie[0][b], ie[1][b], ie[2][b], int(ie[3][b]))
-        for t in range(1, T + 1):
-            es, ed, ea = (fetch["e_rec"][j][t - 1, b] for j in range(3))
-            ec_ = int(fetch["e_rec"][3][t - 1, b])
-            m = np.arange(len(es)) < ec_
-            m &= (es >= 0) & (ed >= 0)
-            m &= (node[t - 1, np.clip(es, 0, K - 1)] >= 0) & \
-                 (node[t, np.clip(ed, 0, K - 1)] >= 0)
-            sel = np.nonzero(m)[0]
-            a_src.append(node[t - 1, es[sel]])
-            a_dst.append(node[t, ed[sel]])
-            a_il.append(g.e_ilabel[ea[sel]])
-            a_ol.append(g.e_olabel[ea[sel]])
-            a_gw.append(g.e_w[ea[sel]])
-            a_ac.append(am[b, t - 1][g.e_pdf[ea[sel]]])
-            ns, nd, na = (fetch["n_rec"][j][t - 1, b] for j in range(3))
-            add_eps(t, ns, nd, na, int(fetch["n_rec"][3][t - 1, b]))
+        a_src = [node[elv - 1, esb_c]]
+        a_dst = [node[elv, edb_c]]
+        a_il = [g.e_ilabel[eab]]
+        a_ol = [g.e_olabel[eab]]
+        a_gw = [g.e_w[eab]]
+        a_ac = [am[b][elv - 1, g.e_pdf[eab]]]
+        a_src.append(node[nlv, nsb_c])
+        a_dst.append(node[nlv, ndb_c])
+        a_il.append(np.zeros(len(nab), np.int32))
+        a_ol.append(g.n_olabel[nab])
+        a_gw.append(g.n_w[nab])
+        a_ac.append(np.zeros(len(nab), np.float32))
 
         final_graph = np.full(nid, np.inf, np.float32)
-        last = vmask[T]
-        fsT = fetch["fsT"][b]
-        final_graph[node[T, last]] = g.final[fsT[last]]
+        last = used[T]
+        final_graph[node[T, last]] = g.final[
+            np.where(fsT[last] == INVALID, 0, fsT[last])]
         lat = Lattice(
             num_states=nid, start=0,
             state_time=np.asarray(times, np.int32),

