@@ -134,6 +134,14 @@ def train_multihost(
     cfg = cfg or TrainConfig()
     mh = mh or MultihostConfig()
     mesh = mesh or initialize(mh)
+    from kaldi_cnn_tpu.train.trainer import _matmul_precision_scope
+    with _matmul_precision_scope(cfg):
+        return _train_multihost_impl(net, egs_train, egs_valid, cfg, mh,
+                                     mesh, metrics, batcher)
+
+
+def _train_multihost_impl(net, egs_train, egs_valid, cfg, mh, mesh,
+                          metrics, batcher):
     from kaldi_cnn_tpu.core.rng import stage_key
     params = net.init(jax.random.PRNGKey(
         int(stage_key(cfg.seed, "init")[1])))

@@ -188,6 +188,7 @@ def run(
     of matched size on the SAME egs and decode it — the CNN-vs-DNN
     ledger delta (the fork's headline claim)."""
     import jax
+    import jax.numpy as jnp
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
     from kaldi_cnn_tpu.models.nnet import AmNnet
     from kaldi_cnn_tpu.train.egs import Egs
@@ -330,8 +331,14 @@ def run(
                     tag, res["wer"], res["errors"], res["words"])
         return res
 
+    def _valid_lp(netx, ps):
+        n = min(len(egs_valid), 4096)
+        return float(netx.objf(ps, jnp.asarray(egs_valid.x[:n]),
+                               jnp.asarray(egs_valid.y[:n])))
+
     timer.reset()
     result = decode_and_score(am_nnet, params, "WSJ-CNN")
+    result["valid_logprob"] = _valid_lp(net, params)
     decode_t = timer.elapsed()
     audio_s = sum(v.shape[0] for v in vol_te.values()) / 100.0
     result.update(train_audio_ss=frames / 100.0 / train_t)
@@ -357,7 +364,8 @@ def run(
         dnn_am.set_priors_from_counts(
             np.bincount(egs_train.y, minlength=num_pdfs))
         dres = decode_and_score(dnn_am, dnn_params, "WSJ-DNN")
-        result.update(dnn_wer=dres["wer"], dnn_dev_wer=dres["dev_wer"])
+        result.update(dnn_wer=dres["wer"], dnn_dev_wer=dres["dev_wer"],
+                      dnn_valid_logprob=_valid_lp(dnn, dnn_params))
     if metrics:
         metrics.write("wsj_cnn_result", **result)
     return result
