@@ -162,6 +162,13 @@ def _train_multihost_impl(net, egs_train, egs_valid, cfg, mh, mesh,
     total = cfg.num_epochs * batcher.num_batches()
     it = 0
     timer = Timer()
+    # XLA:CPU collectives abort with a fixed 40 s rendezvous timeout
+    # when partition threads of DIFFERENT queued step executions
+    # interleave on an oversubscribed host (measured: full-scale runs
+    # on the 2-core CI box die on the first all-reduce).  Keeping at
+    # most one step in flight bounds the skew; on TPU the async queue
+    # stays (it is the throughput model).
+    throttle = jax.default_backend() == "cpu"
     for epoch in range(cfg.num_epochs):
         ep_objf = jnp.zeros(())     # device accumulator, read per epoch
         ep_frames = 0
@@ -180,6 +187,8 @@ def _train_multihost_impl(net, egs_train, egs_valid, cfg, mh, mesh,
                 key = stage_key(cfg.seed, "mh_step", it)
                 params, opt, objf = step(params, opt, x, y, lr, key=key,
                                          weights=w)
+            if throttle:
+                jax.block_until_ready(objf)
             ep_objf = ep_objf + objf * float(w.sum())
             ep_frames += int(w.sum())
             it += 1
