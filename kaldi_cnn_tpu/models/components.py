@@ -46,7 +46,10 @@ def _ng_affine_update(params, opt, in_value, out_deriv, lr, ng_in, ng_out,
     spaces, delta = deriv_hatᵀ @ in_hat, clip by max_change.)
     """
     n = in_value.shape[0]
-    ones = jnp.ones((n, 1), jnp.float32)
+    # ones in the INPUT dtype: a f32 ones column would promote the
+    # whole concatenated matrix to f32, materializing a second copy of
+    # the (possibly bf16-stored) activation in HBM
+    ones = jnp.ones((n, 1), in_value.dtype)
     in_ext = jnp.concatenate([in_value, ones], axis=1)
     # no 1/N here: the objf derivative is already per-frame normalized
     # (the trainer divides by the weight sum), matching the reference
@@ -226,14 +229,17 @@ class NormalizeComponent:
         return {}
 
     def forward(self, params, x, train=False, key=None):
-        rms = jnp.sqrt(jnp.mean(x * x, axis=1, keepdims=True) + 1e-20)
+        # f32 accumulation for the row second moment (fused convert)
+        rms = jnp.sqrt(jnp.mean((x * x).astype(jnp.float32), axis=1,
+                                keepdims=True) + 1e-20)
         return x / rms, None
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
         d = in_value.shape[1]
-        rms = jnp.sqrt(jnp.mean(in_value * in_value, axis=1,
-                                keepdims=True) + 1e-20)
-        dot = jnp.sum(out_deriv * in_value, axis=1, keepdims=True)
+        rms = jnp.sqrt(jnp.mean((in_value * in_value).astype(jnp.float32),
+                                axis=1, keepdims=True) + 1e-20)
+        dot = jnp.sum((out_deriv * in_value).astype(jnp.float32),
+                      axis=1, keepdims=True)
         return out_deriv / rms - in_value * dot / (d * rms ** 3)
 
 
@@ -246,10 +252,14 @@ class SoftmaxComponent:
         return {}
 
     def forward(self, params, x, train=False, key=None):
-        return jax.nn.softmax(x, axis=1), None
+        # f32 exp/sum regardless of the stored-activation dtype: the
+        # posteriors feed log-objf and 1/p derivative terms (cheap —
+        # the logits row is the narrow end of the net)
+        return jax.nn.softmax(x.astype(jnp.float32), axis=1), None
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
-        dot = jnp.sum(out_deriv * out_value, axis=1, keepdims=True)
+        dot = jnp.sum((out_deriv * out_value).astype(jnp.float32),
+                      axis=1, keepdims=True)
         return out_value * (out_deriv - dot)
 
 
@@ -520,12 +530,22 @@ class Conv2DComponent:
         k = w.shape[0]
         kernel = w.reshape(k, self.filt_t, self.filt_f,
                            self.in_c).transpose(1, 2, 3, 0)   # HWIO
+        # lax.conv requires matching element types; with bf16-stored
+        # train activations the (f32) weights ride along as bf16 —
+        # exactly what the MXU reads under the trainer's bf16-matmul
+        # default.  The OUTPUT also stays in the input dtype: a f32
+        # preferred_element_type on bf16 operands breaks the conv's
+        # VJP (its transpose would mix a f32 cotangent with bf16
+        # operands, which lax.conv rejects), and the MXU accumulates
+        # in f32 internally regardless — only the final store rounds.
+        kernel = kernel.astype(x.dtype)
+        pref = jnp.float32 if x.dtype == jnp.float32 else None
         return jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride_t, self.stride_f),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=pref)
 
     @functools.cached_property
     def _patch_multiplicity(self) -> np.ndarray:
@@ -545,7 +565,8 @@ class Conv2DComponent:
         # component backprop chain needs the conv activation.
         n = x.shape[0]
         xi = x.reshape(n, self.in_t, self.in_f, self.in_c)
-        y = self._conv_nhwc(xi, params["w"]) + params["b"]
+        y = self._conv_nhwc(xi, params["w"])
+        y = y + params["b"].astype(y.dtype)
         # [N, out_t, out_f, F] row-major == patches-major, filters-minor:
         # identical layout to the im2col path (patch p = (ot, of))
         return y.reshape(n, self.output_dim), None
@@ -557,8 +578,8 @@ class Conv2DComponent:
                               self.num_filters)
         # input gradient = VJP of the conv (XLA emits the transposed
         # conv, vastly faster than the scatter-add im2col transpose)
-        _, vjp = jax.vjp(lambda v: self._conv_nhwc(v, params["w"]), xi)
-        (dx,) = vjp(d)
+        out, vjp = jax.vjp(lambda v: self._conv_nhwc(v, params["w"]), xi)
+        (dx,) = vjp(d.astype(out.dtype))
         return dx.reshape(n, self.input_dim)
 
     # NG update treats each patch row as a data row, like the affine
@@ -593,10 +614,12 @@ class Conv2DComponent:
         d2 = out_deriv.reshape(n_rows, self.num_filters)
         state_in, state_out = opt["ng_in"], opt["ng_out"]
 
-        # G extended with the bias column (ones-extended input rows)
-        _, vjp = jax.vjp(lambda w: self._conv_nhwc(xi, w), params["w"])
-        (gw,) = vjp(d)                               # [F, patch_dim]
-        gb = jnp.sum(d2, axis=0)                     # [F]
+        # G extended with the bias column (ones-extended input rows).
+        # Reductions over the (possibly bf16-stored) deriv accumulate
+        # in f32: the casts/preferred types fuse into the reducing ops.
+        cout, vjp = jax.vjp(lambda w: self._conv_nhwc(xi, w), params["w"])
+        (gw,) = vjp(d.astype(cout.dtype))            # [F, patch_dim] f32
+        gb = jnp.sum(d2, axis=0, dtype=jnp.float32)  # [F]
         g = jnp.concatenate([gw, gb[:, None]], axis=1)
 
         # input-side quadratic stats in the OLD basis
@@ -609,7 +632,8 @@ class Conv2DComponent:
         x_sq = jnp.sum((in_value * in_value) @ mult) + n_rows
 
         # output-side quadratic stats via the [F, F] Gram
-        m = d2.T @ d2
+        m = jnp.einsum("nf,ng->fg", d2, d2,
+                       preferred_element_type=jnp.float32)
         d_sq = jnp.trace(m)
         u_o = state_out.u                            # [Rₒ, F]
         proj_sq_out = jnp.sum((u_o @ m) * u_o, axis=1)

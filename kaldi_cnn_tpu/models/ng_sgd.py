@@ -124,6 +124,7 @@ class OnlineNaturalGradient:
         """Track the top-R eigenbasis of (1-eta) F + eta XᵀX/N, where
         X is represented by sample rows xs scaled to the batch
         second moment x_energy."""
+        xs = xs.astype(jnp.float32)     # ≤R rows — cheap, exact eigh
         u, d, rho = state.u, state.d, state.rho
         r, dim = u.shape
         s = xs.shape[0]
@@ -243,13 +244,21 @@ def fused_ng_delta(ng_in: OnlineNaturalGradient,
     per-side rescale, update_period-gated state update from sampled
     rows.  Returns (delta [out, in], new_state_in, new_state_out).
     """
-    x = x.astype(jnp.float32)
-    d = d.astype(jnp.float32)
-    g = d.T @ x                                    # [out, in] — THE GEMM
-    p_in = x @ state_in.u.T                        # [N, Rᵢ] (thin)
-    p_out = d @ state_out.u.T                      # [N, Rₒ] (thin)
-    x_sq = jnp.sum(x * x)
-    d_sq = jnp.sum(d * d)
+    # keep x/d in their stored dtype (bf16 on the TPU train path) and
+    # let every contraction accumulate in f32 via preferred_element_type
+    # — an up-front astype(f32) would rewrite both [N, dim] activations
+    # through HBM, which is exactly the traffic this function exists to
+    # avoid.  For f32 inputs all of this is the identity.
+    g = jnp.einsum("no,ni->oi", d, x,
+                   preferred_element_type=jnp.float32)  # [out, in] GEMM
+    p_in = jnp.einsum("ni,ri->nr", x, state_in.u.astype(x.dtype),
+                      preferred_element_type=jnp.float32)   # [N, Rᵢ]
+    p_out = jnp.einsum("no,ro->nr", d, state_out.u.astype(d.dtype),
+                       preferred_element_type=jnp.float32)  # [N, Rₒ]
+    x_sq = jnp.einsum("ni,ni->", x, x,
+                      preferred_element_type=jnp.float32)
+    d_sq = jnp.einsum("no,no->", d, d,
+                      preferred_element_type=jnp.float32)
     return ng_delta_from_stats(
         ng_in, ng_out, state_in, state_out, g,
         x_sq, jnp.sum(p_in * p_in, axis=0),

@@ -34,7 +34,8 @@ from kaldi_cnn_tpu.models.ng_sgd import OnlineNaturalGradient
 class Nnet:
     def __init__(self, components: Sequence[Any],
                  ng_rank_in: int = 20, ng_rank_out: int = 80,
-                 ng_update_period: int = 4):
+                 ng_update_period: int = 4,
+                 train_storage_dtype: Optional[str] = None):
         self.components = list(components)
         # ranks per the reference defaults (train_pnorm_simple.sh:
         # --precondition-rank-in 20 --precondition-rank-out 80)
@@ -42,7 +43,27 @@ class Nnet:
                                            update_period=ng_update_period)
         self.ng_out = OnlineNaturalGradient(rank=ng_rank_out,
                                             update_period=ng_update_period)
+        # dtype the TRAIN step stores activations / derivatives in
+        # between components.  None = backend default: bfloat16 on TPU
+        # (the conv activation/derivative tensors are the backward
+        # pass's HBM floor — 503 MB each at mb 4096, see PERF.md §1 —
+        # and the MXU reads bf16 natively under the trainer's
+        # bf16-matmul default), float32 elsewhere so the CPU test
+        # oracle and gradient checks are exact.  All cross-row
+        # reductions accumulate in f32 regardless (the casts fuse into
+        # the reducing op's operand read).
+        self.train_storage_dtype = train_storage_dtype
         self._train_step_cache: Dict[Any, Any] = {}
+
+    def _storage_dtype(self):
+        """Resolved storage dtype for the train step, or None for f32
+        (= store exactly what each component computes)."""
+        dt = self.train_storage_dtype
+        if dt is None:
+            bf16 = jax.default_backend() == "tpu"
+        else:
+            bf16 = str(dt) in ("bfloat16", "bf16") or dt == jnp.bfloat16
+        return jnp.bfloat16 if bf16 else None
 
     # -- dims --------------------------------------------------------------
     @property
@@ -80,9 +101,16 @@ class Nnet:
         return tuple(out)
 
     # -- forward -----------------------------------------------------------
-    def forward(self, params, x, train: bool = False, key=None):
+    def forward(self, params, x, train: bool = False, key=None,
+                store_dtype=None):
         """Returns (output, activations, auxs); activations[i] is the
-        INPUT of component i (activations[L] = final output)."""
+        INPUT of component i (activations[L] = final output).
+        ``store_dtype`` (train step only) casts every stored activation
+        — each component then consumes its predecessor's stored value,
+        so backprop's in_value/out_value pairs stay self-consistent
+        (e.g. the maxpool subgradient's v == y mask is exact)."""
+        if store_dtype is not None:
+            x = x.astype(store_dtype)
         acts = [x]
         auxs = []
         for i, c in enumerate(self.components):
@@ -90,6 +118,8 @@ class Nnet:
             if train and key is not None:
                 k = jax.random.fold_in(key, i)
             y, aux = c.forward(params[i], acts[-1], train=train, key=k)
+            if store_dtype is not None:
+                y = y.astype(store_dtype)
             acts.append(y)
             auxs.append(aux)
         return acts[-1], acts, auxs
@@ -134,12 +164,17 @@ class Nnet:
         return y
 
     # -- the train step ----------------------------------------------------
-    def _backward_update(self, params, opt, acts, auxs, out_deriv, lr):
+    def _backward_update(self, params, opt, acts, auxs, out_deriv, lr,
+                         store_dtype=None):
         """Shared backward walk + NG-SGD updates given the derivative at
-        the network OUTPUT (the reference's NnetUpdater::Backprop)."""
+        the network OUTPUT (the reference's NnetUpdater::Backprop).
+        ``store_dtype`` casts each component's in_deriv before the next
+        component consumes it (same rationale as forward's)."""
         new_params = list(params)
         new_opt = list(opt)
         deriv = out_deriv
+        if store_dtype is not None:
+            deriv = deriv.astype(store_dtype)
         for i in range(len(self.components) - 1, -1, -1):
             c = self.components[i]
             in_value, out_value = acts[i], acts[i + 1]
@@ -150,12 +185,16 @@ class Nnet:
             if i > 0:
                 deriv = c.backprop(params[i], in_value, out_value, deriv,
                                    auxs[i])
+                if store_dtype is not None:
+                    deriv = deriv.astype(store_dtype)
         return tuple(new_params), tuple(new_opt)
 
     def _train_step_impl(self, params, opt, x, labels, weights, lr, key):
         n = x.shape[0]
-        out, acts, auxs = self.forward(params, x, train=True, key=key)
-        post = jnp.maximum(out, 1e-20)
+        sd = self._storage_dtype()
+        out, acts, auxs = self.forward(params, x, train=True, key=key,
+                                       store_dtype=sd)
+        post = jnp.maximum(out.astype(jnp.float32), 1e-20)
         picked = jnp.take_along_axis(post, labels[:, None], axis=1)[:, 0]
         wsum = jnp.maximum(jnp.sum(weights), 1e-8)
         objf = jnp.sum(jnp.log(picked) * weights) / wsum
@@ -163,7 +202,7 @@ class Nnet:
         one_hot = jax.nn.one_hot(labels, out.shape[1], dtype=jnp.float32)
         out_deriv = one_hot * (weights / wsum)[:, None] / picked[:, None]
         new_params, new_opt = self._backward_update(
-            params, opt, acts, auxs, out_deriv, lr)
+            params, opt, acts, auxs, out_deriv, lr, store_dtype=sd)
         return new_params, new_opt, objf
 
     def _discriminative_step_impl(self, params, opt, x, num_post,
@@ -173,14 +212,16 @@ class Nnet:
         objective gradient at the softmax output is
         (numerator occupancy - denominator occupancy) per (frame, pdf);
         through y that is (num - den) / y."""
-        out, acts, auxs = self.forward(params, x, train=True, key=key)
-        y = jnp.maximum(out, 1e-20)
+        sd = self._storage_dtype()
+        out, acts, auxs = self.forward(params, x, train=True, key=key,
+                                       store_dtype=sd)
+        y = jnp.maximum(out.astype(jnp.float32), 1e-20)
         n_frames = jnp.maximum(jnp.sum(num_post), 1e-8)
         objf = (jnp.sum(num_post * jnp.log(y))
                 - jnp.sum(den_post * jnp.log(y))) / n_frames
         out_deriv = (num_post - den_post) / y / n_frames
         new_params, new_opt = self._backward_update(
-            params, opt, acts, auxs, out_deriv, lr)
+            params, opt, acts, auxs, out_deriv, lr, store_dtype=sd)
         return new_params, new_opt, objf
 
     def discriminative_step(self, params, opt, x, num_post, den_post,
