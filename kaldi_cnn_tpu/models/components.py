@@ -204,8 +204,12 @@ class PnormComponent:
     def forward(self, params, x, train=False, key=None):
         n = x.shape[0]
         g = x.reshape(n, self.output_dim, self.group_size)
-        y = jnp.power(jnp.sum(jnp.power(jnp.abs(g), self.p), axis=2) + 1e-20,
-                      1.0 / self.p)
+        # group power-sum accumulates in f32 even under bf16 storage
+        # (the cast fuses into the reducing op's operand read), matching
+        # the cross-row-reduction discipline in nnet.py/PERF.md
+        s = jnp.sum(jnp.power(jnp.abs(g), self.p).astype(jnp.float32),
+                    axis=2)
+        y = jnp.power(s + 1e-20, 1.0 / self.p).astype(x.dtype)
         return y, None
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
@@ -276,7 +280,13 @@ class DropoutComponent:
         if not train or key is None or self.proportion <= 0.0:
             return x, jnp.ones_like(x)
         keep = 1.0 - self.proportion
-        mask = (jax.random.uniform(key, x.shape) < keep) / keep
+        # mask held in the input/storage dtype: a full f32 [N, dim]
+        # aux tensor across forward/backward would claw back part of
+        # the bf16 residual-storage HBM win (1/keep is exact in bf16
+        # only for power-of-two keep, but dropout scaling needs no
+        # more precision than the activations it multiplies)
+        mask = ((jax.random.uniform(key, x.shape) < keep)
+                .astype(x.dtype) / jnp.asarray(keep, x.dtype))
         return x * mask, mask
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):

@@ -20,7 +20,6 @@ batch parallelism, SURVEY.md §2.2).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -57,12 +56,20 @@ class Nnet:
 
     def _storage_dtype(self):
         """Resolved storage dtype for the train step, or None for f32
-        (= store exactly what each component computes)."""
+        (= store exactly what each component computes).  Rejects
+        anything outside {None, f32, bf16}: a silent fallback would let
+        a 'float16' typo train in f32 without anyone noticing."""
         dt = self.train_storage_dtype
         if dt is None:
             bf16 = jax.default_backend() == "tpu"
+        elif dt == jnp.bfloat16 or str(dt) in ("bfloat16", "bf16"):
+            bf16 = True
+        elif dt == jnp.float32 or str(dt) in ("float32", "f32"):
+            bf16 = False
         else:
-            bf16 = str(dt) in ("bfloat16", "bf16") or dt == jnp.bfloat16
+            raise ValueError(
+                f"train_storage_dtype={dt!r} unsupported; use None, "
+                "'float32'/'f32', or 'bfloat16'/'bf16'")
         return jnp.bfloat16 if bf16 else None
 
     # -- dims --------------------------------------------------------------
@@ -229,7 +236,7 @@ class Nnet:
         """jit-cached MMI-style update; num_post/den_post [N, P]."""
         if key is None:
             key = np.zeros(2, np.uint32)
-        shape_key = ("disc", x.shape)
+        shape_key = ("disc", x.shape, str(self._storage_dtype()))
         if shape_key not in self._train_step_cache:
             self._train_step_cache[shape_key] = jax.jit(
                 self._discriminative_step_impl)
@@ -251,14 +258,15 @@ class Nnet:
         measured to dominate the step time (4.5x at minibatch 4096)."""
         if key is None:
             key = np.zeros(2, np.uint32)
+        sd = str(self._storage_dtype())
         if weights is None:
-            shape_key = ("nw", x.shape, x.dtype)
+            shape_key = ("nw", x.shape, x.dtype, sd)
             if shape_key not in self._train_step_cache:
                 self._train_step_cache[shape_key] = jax.jit(
                     self._train_step_impl_unweighted)
             return self._train_step_cache[shape_key](
                 params, opt, x, labels, np.float32(lr), key)
-        shape_key = (x.shape, x.dtype)
+        shape_key = (x.shape, x.dtype, sd)
         if shape_key not in self._train_step_cache:
             self._train_step_cache[shape_key] = jax.jit(self._train_step_impl)
         return self._train_step_cache[shape_key](
@@ -293,7 +301,8 @@ class Nnet:
             weights = np.ones((k_steps, n), np.float32)
         lrs = np.broadcast_to(np.asarray(lr, np.float32),
                               (k_steps,)).copy()
-        shape_key = ("scan", xs.shape, xs.dtype)
+        shape_key = ("scan", xs.shape, xs.dtype,
+                     str(self._storage_dtype()))
         if shape_key not in self._train_step_cache:
             self._train_step_cache[shape_key] = jax.jit(
                 self._train_scan_impl)
@@ -336,6 +345,12 @@ class AmNnet:
         self.num_pdfs = num_pdfs or nnet.output_dim
         self.priors = np.full(self.num_pdfs, 1.0 / self.num_pdfs,
                               np.float64)
+        # per-INSTANCE compiled predict: an lru_cache on the bound
+        # method would be shared across AmNnets via the class, so two
+        # live models (e.g. the wsj eval_dnn CNN-vs-DNN comparison)
+        # would evict each other and retrace on every alternation
+        self._predict_fn = jax.jit(
+            lambda p, x: self.nnet.predict(p, x))
 
     def set_priors_from_counts(self, counts: np.ndarray,
                                smooth: float = 0.5) -> None:
@@ -359,6 +374,5 @@ class AmNnet:
         return (np.log(np.maximum(post, 1e-20))
                 - np.log(self.priors)[None, :]).astype(np.float32)
 
-    @functools.lru_cache(maxsize=1)
     def _predict_jit(self):
-        return jax.jit(lambda p, x: self.nnet.predict(p, x))
+        return self._predict_fn

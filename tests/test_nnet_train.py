@@ -263,3 +263,39 @@ def test_per_component_combine_beats_whole_model_and_keep_last(rng):
     objf_last = _valid_objf(net, candidates[-1], egs_valid, cfg)
     assert objf_pc > objf_wm + 0.01
     assert objf_pc > objf_last + 0.01
+
+
+def test_two_am_nnets_do_not_retrace_each_other(rng):
+    """Two live AmNnets (the wsj eval_dnn CNN-vs-DNN configuration)
+    must each keep their own compiled predict fn: an lru_cache(1) on
+    the method was shared class-wide, so alternating loglikes() calls
+    evicted and retraced every time."""
+    net_a, net_b = _toy_net(), _toy_net(hidden=24, pnorm_out=6)
+    am_a, am_b = AmNnet(net_a), AmNnet(net_b)
+    pa = net_a.init(jax.random.PRNGKey(0))
+    pb = net_b.init(jax.random.PRNGKey(1))
+    feats = rng.normal(size=(16, 10)).astype(np.float32)
+    # prime both, then verify alternation reuses the same fn objects
+    am_a.loglikes(pa, feats, batch_size=16)
+    am_b.loglikes(pb, feats, batch_size=16)
+    fn_a, fn_b = am_a._predict_jit(), am_b._predict_jit()
+    assert fn_a is not fn_b
+    for _ in range(3):
+        am_a.loglikes(pa, feats, batch_size=16)
+        am_b.loglikes(pb, feats, batch_size=16)
+        assert am_a._predict_jit() is fn_a
+        assert am_b._predict_jit() is fn_b
+    # and the compile caches did not churn: one compilation each
+    assert fn_a._cache_size() == 1
+    assert fn_b._cache_size() == 1
+
+
+def test_train_storage_dtype_validation():
+    net = _toy_net()
+    net.train_storage_dtype = "float16"
+    with pytest.raises(ValueError):
+        net._storage_dtype()
+    net.train_storage_dtype = "bf16"
+    assert net._storage_dtype() == jnp.bfloat16
+    net.train_storage_dtype = "f32"
+    assert net._storage_dtype() is None
