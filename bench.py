@@ -91,7 +91,15 @@ def _entry(name, ms, flops, nbytes, peak_f, peak_b):
     if nbytes:
         e["mb_accessed"] = round(nbytes / 1e6, 2)
         if peak_b:
-            e["hbm_frac"] = round(nbytes / ms / peak_b, 4)
+            frac = nbytes / ms / peak_b
+            if frac <= 1.0:
+                e["hbm_frac"] = round(frac, 4)
+            else:
+                # cost-analysis bytes exceed what the HBM could move in
+                # the measured time — the estimator double-counts (e.g.
+                # pallas CostEstimate bytes for ops XLA fused away), so
+                # this is NOT a roofline fraction; annotate instead
+                e["bytes_estimated_unreliable"] = True
     if "mfu" in e or "hbm_frac" in e:
         e["roofline_frac"] = round(max(e.get("mfu", 0.0),
                                        e.get("hbm_frac", 0.0)), 4)
@@ -107,8 +115,6 @@ def roofline() -> dict:
     from kaldi_cnn_tpu.models.components import (
         Conv2DComponent, Maxpooling3DComponent)
     from kaldi_cnn_tpu.models.factory import ConvnetConfig
-    from kaldi_cnn_tpu.ops.conv_pallas import (
-        conv2d_maxpool_fused, conv2d_pallas)
     from kaldi_cnn_tpu.ops.fbank_pallas import fbank_pallas
 
     peak_f, peak_b = _peaks()
@@ -137,22 +143,20 @@ def roofline() -> dict:
     conv_flops = 2.0 * B * conv.num_patches * conv.patch_dim \
         * conv.num_filters
     c_xla = jax.jit(lambda x: conv.forward(p, x)[0])
-    c_pal = jax.jit(lambda x: conv2d_pallas(x, p["w"], p["b"], conv))
-    for name, fn in (("conv_xla", c_xla), ("conv_pallas", c_pal)):
+    for name, fn in (("conv_xla", c_xla),):
         ms = _time_fn(fn, x)
         fl, by = _flops_bytes(fn, x)
         out[name] = _entry(name, ms, fl or conv_flops, by, peak_f, peak_b)
 
-    # ---- conv + 3-D maxpool: XLA unfused chain vs the two fused
-    # Pallas generations (round-2 materialized-im2col kernel, and the
-    # round-3 implicit-GEMM kernel that assembles patches in VMEM)
+    # ---- conv + 3-D maxpool: XLA unfused chain vs the implicit-GEMM
+    # Pallas kernel that assembles patches in VMEM (the shipped
+    # inference path; earlier HBM-materialized Pallas generations lost
+    # to XLA and were removed in round 5)
     from kaldi_cnn_tpu.ops.conv_pallas import conv2d_maxpool_implicit
     pool = Maxpooling3DComponent(conv.out_t, conv.out_f,
                                  conv.num_filters, cfg.pool_t,
                                  cfg.pool_f, cfg.pool_c)
     cp_xla = jax.jit(lambda x: pool.forward({}, conv.forward(p, x)[0])[0])
-    cp_pal = jax.jit(lambda x: conv2d_maxpool_fused(
-        x, p["w"], p["b"], conv, cfg.pool_t, cfg.pool_f))
     cp_imp = jax.jit(lambda x: conv2d_maxpool_implicit(
         x, p["w"], p["b"], conv, cfg.pool_t, cfg.pool_f))
     # correctness gate before timing (flagship shape runs compiled
@@ -163,7 +167,6 @@ def roofline() -> dict:
     scale = float(jnp.max(jnp.abs(ref_small))) + 1e-6
     assert err / scale < 0.02, f"implicit kernel mismatch: {err}"
     for name, fn in (("conv_maxpool_xla", cp_xla),
-                     ("conv_maxpool_pallas", cp_pal),
                      ("conv_maxpool_implicit", cp_imp)):
         ms = _time_fn(fn, x)
         fl, by = _flops_bytes(fn, x)

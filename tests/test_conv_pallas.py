@@ -8,24 +8,12 @@ import pytest
 
 from kaldi_cnn_tpu.models.components import (
     Conv2DComponent, Maxpooling3DComponent)
-from kaldi_cnn_tpu.ops.conv_pallas import conv2d_maxpool_fused, conv2d_pallas
 from kaldi_cnn_tpu.ops.maxpool_pallas import maxpool3d_pallas
 
 
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
-
-
-def test_conv2d_pallas_matches_reference(rng, key):
-    c = Conv2DComponent(in_t=8, in_f=23, in_c=2, filt_t=3, filt_f=8,
-                        num_filters=16)
-    p = c.init(key)
-    x = jnp.asarray(rng.normal(size=(5, c.input_dim)).astype(np.float32))
-    ref, _ = c.forward(p, x)
-    got = conv2d_pallas(x, p["w"], p["b"], c).reshape(5, c.output_dim)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
 
 
 def test_conv2d_pallas_component_flag(rng, key):
@@ -47,37 +35,6 @@ def test_maxpool3d_pallas_matches_reference(rng):
     ref, _ = c.forward({}, x)
     got = maxpool3d_pallas(x, c)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-
-def test_fused_conv_pool_matches_chain(rng, key):
-    conv = Conv2DComponent(in_t=9, in_f=12, in_c=2, filt_t=3, filt_f=3,
-                           num_filters=16)
-    # conv out: 7 x 10
-    pool = Maxpooling3DComponent(in_t=conv.out_t, in_f=conv.out_f,
-                                 in_c=16, pool_t=7, pool_f=2, pool_c=1)
-    p = conv.init(key)
-    x = jnp.asarray(rng.normal(size=(6, conv.input_dim)).astype(np.float32))
-    y1, _ = conv.forward(p, x)
-    ref, _ = pool.forward({}, y1)
-    got = conv2d_maxpool_fused(x, p["w"], p["b"], conv,
-                               pool_t=7, pool_f=2, relu=False)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
-
-
-def test_fused_conv_pool_relu(rng, key):
-    conv = Conv2DComponent(in_t=4, in_f=6, in_c=1, filt_t=2, filt_f=3,
-                           num_filters=8)
-    pool = Maxpooling3DComponent(in_t=conv.out_t, in_f=conv.out_f,
-                                 in_c=8, pool_t=3, pool_f=2, pool_c=1)
-    p = conv.init(key)
-    x = jnp.asarray(rng.normal(size=(3, conv.input_dim)).astype(np.float32))
-    y1, _ = conv.forward(p, x)
-    ref, _ = pool.forward({}, jnp.maximum(y1, 0.0))
-    got = conv2d_maxpool_fused(x, p["w"], p["b"], conv,
-                               pool_t=3, pool_f=2, relu=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
 
 
 def test_conv2d_maxpool_implicit_matches_reference(rng, key):
