@@ -34,7 +34,10 @@ from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
 BASELINE_AUDIO_SS = 30.0     # K20-era CUDA reference, see module docstring
 FRAMES_PER_SECOND = 100.0    # 10 ms frame shift
 MINIBATCH = 4096
-WARMUP = 3
+# warmup must clear the NG preconditioner's warmup_updates horizon
+# (64 every-step Fisher refreshes, ~16 ms/step) so the timed window
+# measures the steady state (eigh every 16th step, ~9.5 ms/step)
+WARMUP = 80
 STEPS = 30  # at mb 4096
 
 # TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16 MXU, 819 GB/s HBM
@@ -197,14 +200,13 @@ def decode_bench() -> dict:
            "graph_arcs": int(g.num_emitting_arcs + g.num_eps_arcs)}
     # reference decode settings (steps/nnet2/decode.sh: --beam 15
     # --lattice-beam 8 --max-active 7000; SURVEY.md §3.4).
-    # lattice_arcs_per_frame: the per-destination lattice-beam cut
-    # keeps real per-frame record counts in the hundreds at these
-    # settings; 2048 covers that with headroom while keeping the
-    # scan's HBM record-write traffic ~8x below the old 16384 sizing
-    # (auto-regrow still backstops unusually dense frames).
+    # lattice_arcs_per_frame=None: derived from max_active
+    # (_derive_lattice_arcs -> 16384 at K=7000), sized so the COLD
+    # decode pays zero auto-grow re-decodes/re-compiles.
     dec = TpuTopKDecoder(g, beam=15.0, max_active=7000,
                          acoustic_scale=1.0, lattice_beam=8.0,
-                         lattice_arcs_per_frame=2048)
+                         lattice_arcs_per_frame=None)
+    out["lattice_arcs_per_frame"] = int(dec.A_lat)
     dec.decode_batch(lls)                      # compile
     t0 = time.perf_counter()
     dec.decode_batch(lls)
@@ -212,12 +214,21 @@ def decode_bench() -> dict:
     out["tpu_best_path"] = {"s": round(best_s, 3),
                             "rtf": round(best_s / audio_s, 4),
                             "audio_s": audio_s}
-    dec.decode_batch_lattice(lls, determinize=False)   # compile
+    # cold = first lattice decode ever on this decoder: includes jit
+    # compilation and any buffer growth re-decodes (there must be none
+    # at the derived default sizing)
+    t0 = time.perf_counter()
+    dec.decode_batch_lattice(lls, determinize=False)
+    cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     lats = dec.decode_batch_lattice(lls, determinize=False)
     lat_s = time.perf_counter() - t0
+    dropped, oframes = dec.last_overflow
     out["tpu_lattice"] = {"s": round(lat_s, 3),
                           "rtf": round(lat_s / audio_s, 4),
+                          "cold_s": round(cold_s, 3),
+                          "cold_rtf": round(cold_s / audio_s, 4),
+                          "overflow_arcs_dropped": int(dropped),
                           "arcs": int(sum(l.num_arcs for l in lats))}
     # the SHIPPED path: keyed mixed-length utterances through
     # decode_utterances with determinization ON (its default), so the

@@ -358,7 +358,8 @@ def cmd_latgen_faster(argv: List[str]) -> int:
                    help="decode per-utterance on the host instead of "
                         "the batched TPU decoder")
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--lattice-arcs-per-frame", type=int, default=1024)
+    # default None = derive from --max-active (no auto-grow re-decodes)
+    p.add_argument("--lattice-arcs-per-frame", type=int, default=None)
     p.add_argument("--lang-dir", required=True,
                    help="for words.txt + transition model")
     p.add_argument("mdl", help=".mdl — GMM or am-nnet, sniffed")

@@ -289,13 +289,18 @@ class TpuTopKDecoder:
     def __init__(self, graph: CompiledGraph, beam: float = 16.0,
                  max_active: int = 2048, acoustic_scale: float = 0.1,
                  lattice_beam: float = 8.0,
-                 lattice_arcs_per_frame: int = 0,
+                 lattice_arcs_per_frame: Optional[int] = 0,
                  max_emit_deg: int = 16, max_eps_deg: int = 8,
                  mesh=None):
         """``mesh``: optional jax.sharding.Mesh with a ``data`` axis —
         the utterance batch shards over it (decoder-state parallelism:
         graph arrays replicate, token state stays per-utterance, so no
         collectives cross utterances; SURVEY.md §2.2 decoder-state row).
+
+        ``lattice_arcs_per_frame``: per-frame lattice record capacity.
+        0 disables lattice buffers (best-path only); None derives the
+        capacity from ``max_active`` (see _derive_lattice_arcs) so
+        default-sized decodes don't pay auto-grow re-decodes.
         """
         self.g0 = graph
         self.g = TopKGraph(graph, max_emit_deg, max_eps_deg)
@@ -307,7 +312,9 @@ class TpuTopKDecoder:
             else g.num_states
         self.acoustic_scale = np.float32(acoustic_scale)
         self.lattice_beam = float(lattice_beam)
-        self.A_lat = int(lattice_arcs_per_frame)
+        self.A_lat = (self._derive_lattice_arcs(self.K)
+                      if lattice_arcs_per_frame is None
+                      else int(lattice_arcs_per_frame))
         self.De = max(g.max_emit_deg, 1)
         self.Dn = max(g.max_eps_deg, 1)
         self.He = len(g.e_hub_arcs)
@@ -986,6 +993,20 @@ class TpuTopKDecoder:
 
     # -- lattice path ------------------------------------------------------
     @staticmethod
+    def _derive_lattice_arcs(max_active: int) -> int:
+        """Initial per-frame lattice record capacity derived from the
+        token budget: a frame's records are the candidate arcs of the
+        <=K surviving tokens that pass the per-destination lattice-beam
+        cut, and at reference settings (beam 15 / lattice-beam 8 /
+        max-active 7000 on the 1.17M-arc bench graph) the densest
+        frames carry up to ~1.7*K records (the BENCH_r04 overflow
+        ladder: 8192 still clipped at K=7000, 16384 did not).  2*K
+        rounded up to a power of two covers that with headroom, so the
+        cold decode pays zero auto-grow re-decodes; auto-grow still
+        backstops pathological graphs."""
+        return 1 << max(11, (2 * int(max_active) - 1).bit_length())
+
+    @staticmethod
     def _overflow_from_counts(init_cnt, e_cnt, n_cnt, lengths, cap
                               ) -> Tuple[int, int]:
         """(arcs dropped, frames affected) across the batch: per-frame
@@ -1249,6 +1270,12 @@ class TpuStreamingDecoder:
     converging — a hard memory bound at the cost of exactness in that
     (pathological) case; default off."""
 
+    # chunk sizes the scan jit specializes on: a chunk of C frames is
+    # processed as greedy blocks from this ladder (32+8+1+... covers
+    # any C with <=3 compiled shapes), each block ONE jit dispatch +
+    # ONE host fetch instead of per-frame round-trips over the tunnel
+    CHUNK_BLOCKS = (32, 8, 1)
+
     def __init__(self, decoder: TpuTopKDecoder,
                  frame_shift_sec: float = 0.01,
                  commit_every: int = 24,
@@ -1266,6 +1293,7 @@ class TpuStreamingDecoder:
                            if walk_limit is None else int(walk_limit))
         self._jit_frame = None
         self._jit_init = None
+        self._jit_chunks: Dict[int, object] = {}
         self.reset()
 
     def reset(self) -> None:
@@ -1303,15 +1331,79 @@ class TpuStreamingDecoder:
             self._jit_init = jax.jit(init_fn)
         return self._jit_frame, self._jit_init
 
+    def _chunk_fn(self, size: int):
+        """jit-cached scan over ``size`` frames: ONE dispatch runs the
+        whole block on device (the offline _decode_impl scan shape,
+        incremental) and returns every level's (fs, fc, bp_arc,
+        bp_prev) stacked for a single host fetch."""
+        if size not in self._jit_chunks:
+            dec = self.dec
+
+            def chunk(fs, fc, am_rows, am_next_rows):
+                def body(carry, x):
+                    out = dec._frame(carry[0], carry[1], x[0], x[1],
+                                     0)[:4]
+                    return (out[0], out[1]), out
+                carry, levels = jax.lax.scan(
+                    body, (fs, fc), (am_rows, am_next_rows))
+                return carry, levels
+
+            self._jit_chunks[size] = jax.jit(chunk)
+        return self._jit_chunks[size]
+
+    def _ensure_init(self, am_row0: np.ndarray) -> None:
+        if self._state is not None:
+            return
+        _, init_fn = self._jits()
+        out = init_fn(jnp.asarray(am_row0))
+        lvl = tuple(np.asarray(x) for x in out)
+        self._frontier = lvl + (None,)
+        root = np.nonzero((lvl[2] < 0)
+                          & (lvl[0] == self.dec.g.start))[0]
+        self._frontier_slot = int(root[0]) if len(root) else 0
+        self._state = (out[0], out[1])
+
+    def _append_level(self, lvl: Tuple[np.ndarray, ...]) -> None:
+        """Host bookkeeping for one processed frame: retain the level
+        in the traceback window, run the commit-cadence checks."""
+        self._buf.append(lvl)
+        self.num_frames += 1
+        self._since_check += 1
+        if self._since_check >= self.commit_every:
+            self._since_check = 0
+            self._try_commit()
+        if self.max_history and len(self._buf) > self.max_history:
+            self._force_commit()
+
     def advance(self, loglikes: np.ndarray) -> None:
-        """Feed [n, num_pdfs] acoustic log-likelihoods."""
+        """Feed [n, num_pdfs] acoustic log-likelihoods.  Frames run on
+        device in scan blocks (CHUNK_BLOCKS) — one jit dispatch + one
+        batched level fetch per block, not per frame (the per-frame
+        host loop's ~2 dispatch round-trips/frame over the tunneled
+        chip put streaming RTF near 1 from dispatch alone)."""
         rows = -np.asarray(loglikes, np.float32)
         if rows.size == 0:
             return
         if self._pending is not None:
             rows = np.concatenate([self._pending[None], rows])
-        for i in range(len(rows) - 1):
-            self._step(rows[i], rows[i + 1])
+        if len(rows) < 2:
+            self._pending = rows[-1]
+            return
+        self._ensure_init(rows[0])
+        i, n = 0, len(rows) - 1
+        while i < n:
+            size = next(b for b in self.CHUNK_BLOCKS if b <= n - i)
+            am = rows[i:i + size]
+            amn = rows[i + 1:i + 1 + size]
+            carry, levels = self._chunk_fn(size)(
+                self._state[0], self._state[1], jnp.asarray(am),
+                jnp.asarray(amn))
+            self._state = carry
+            levels_np = jax.device_get(levels)
+            for j in range(size):
+                self._append_level(
+                    tuple(x[j] for x in levels_np) + (am[j],))
+            i += size
         self._pending = rows[-1]
 
     def finalize(self) -> None:
@@ -1321,28 +1413,13 @@ class TpuStreamingDecoder:
             self._pending = None
 
     def _step(self, am_row: np.ndarray, am_next_row: np.ndarray) -> None:
-        frame_fn, init_fn = self._jits()
-        K = self.dec.K
-        if self._state is None:
-            out = init_fn(jnp.asarray(am_row))
-            lvl = tuple(np.asarray(x) for x in out)
-            self._frontier = lvl + (None,)
-            root = np.nonzero((lvl[2] < 0)
-                              & (lvl[0] == self.dec.g.start))[0]
-            self._frontier_slot = int(root[0]) if len(root) else 0
-            self._state = (out[0], out[1])
+        frame_fn, _ = self._jits()
+        self._ensure_init(am_row)
         outs = frame_fn(self._state[0], self._state[1],
                         jnp.asarray(am_row), jnp.asarray(am_next_row))
         self._state = (outs[0], outs[1])
         lvl = tuple(np.asarray(o) for o in outs) + (np.asarray(am_row),)
-        self._buf.append(lvl)
-        self.num_frames += 1
-        self._since_check += 1
-        if self._since_check >= self.commit_every:
-            self._since_check = 0
-            self._try_commit()
-        if self.max_history and len(self._buf) > self.max_history:
-            self._force_commit()
+        self._append_level(lvl)
 
     # -- committed-prefix machinery ---------------------------------------
     def _collapse_eps(self, lvl, cur: np.ndarray) -> np.ndarray:
@@ -1577,7 +1654,7 @@ def decode_utterances(graph: CompiledGraph,
                       beam: float = 16.0,
                       lattice_beam: float = 8.0,
                       max_active: int = 7000,
-                      lattice_arcs_per_frame: int = 2048,
+                      lattice_arcs_per_frame: Optional[int] = None,
                       batch_size: int = 16,
                       bucket_frames: int = 128,
                       mesh=None,
@@ -1594,6 +1671,10 @@ def decode_utterances(graph: CompiledGraph,
     ``bucket_frames``) and decoded in fixed-size batches so the jit
     specializes once per (bucket, batch) shape; short final batches are
     padded by repeating the last utterance and the duplicates dropped.
+
+    ``lattice_arcs_per_frame=None`` (default) derives the record
+    capacity from ``max_active`` (TpuTopKDecoder._derive_lattice_arcs)
+    so cold decodes don't pay overflow re-decodes + re-compiles.
     """
     dec = decoder or TpuTopKDecoder(
         graph, beam=beam, max_active=max_active,

@@ -44,27 +44,20 @@ def _ng_affine_update(params, opt, in_value, out_deriv, lr, ng_in, ng_out,
     (ref: nnet-component.cc AffineComponentPreconditionedOnline::Update:
     extend input rows with 1.0 for the bias, precondition both row
     spaces, delta = deriv_hatᵀ @ in_hat, clip by max_change.)
+
+    No 1/N: the objf derivative is already per-frame normalized (the
+    trainer divides by the weight sum), matching the reference where
+    objf is per-minibatch and lr absorbs scale.  The heavy lifting is
+    ng_affine_apply's factored form — bias column analytic, delta
+    never materialized (see its docstring).
     """
-    n = in_value.shape[0]
-    # ones in the INPUT dtype: a f32 ones column would promote the
-    # whole concatenated matrix to f32, materializing a second copy of
-    # the (possibly bf16-stored) activation in HBM
-    ones = jnp.ones((n, 1), in_value.dtype)
-    in_ext = jnp.concatenate([in_value, ones], axis=1)
-    # no 1/N here: the objf derivative is already per-frame normalized
-    # (the trainer divides by the weight sum), matching the reference
-    # where objf is per-minibatch and lr absorbs scale
-    delta, opt_in, opt_out = fused_ng_delta(
-        ng_in, ng_out, opt["ng_in"], opt["ng_out"], in_ext, out_deriv)
-    if max_change > 0:
-        norm = jnp.sqrt(jnp.sum(delta * delta)) * jnp.abs(lr)
-        scale = jnp.minimum(1.0, max_change / jnp.maximum(norm, 1e-20))
-    else:
-        scale = 1.0
-    step = lr * scale
+    from kaldi_cnn_tpu.models.ng_sgd import ng_affine_apply
+    w, b, opt_in, opt_out = ng_affine_apply(
+        ng_in, ng_out, opt["ng_in"], opt["ng_out"], in_value, out_deriv,
+        params["w"], params["b"], lr, max_change)
     new_params = dict(params)
-    new_params["w"] = params["w"] + step * delta[:, :-1]
-    new_params["b"] = params["b"] + step * delta[:, -1]
+    new_params["w"] = w
+    new_params["b"] = b
     return new_params, {"ng_in": opt_in, "ng_out": opt_out}
 
 
@@ -729,19 +722,58 @@ class Maxpooling3DComponent:
                       self.out_c, self.pool_c)
         return v
 
+    def _window_iota(self):
+        """Flat within-window index on the 7-D block view (fused iota
+        arithmetic, no materialized transpose)."""
+        shape = (1, self.out_t, self.pool_t, self.out_f, self.pool_f,
+                 self.out_c, self.pool_c)
+        pt = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        pf = jax.lax.broadcasted_iota(jnp.int32, shape, 4)
+        pc = jax.lax.broadcasted_iota(jnp.int32, shape, 6)
+        return (pt * self.pool_f + pf) * self.pool_c + pc
+
     def forward(self, params, x, train=False, key=None):
         # XLA reshape+max path (fastest standalone); ``use_pallas``
         # marks the pair for Nnet.predict's fused conv+maxpool kernel
-        y = self._blocks(x).max(axis=(2, 4, 6))
-        return y.reshape(x.shape[0], self.output_dim), None
+        n = x.shape[0]
+        v = self._blocks(x)
+        y = v.max(axis=(2, 4, 6))
+        if not train:
+            return y.reshape(n, self.output_dim), None
+        # train: store the argmax WINDOW INDEX as aux so backprop never
+        # re-reads the (503 MB at flagship mb) pre-pool activation or
+        # the pooled output — with no backward consumer left, the
+        # stored conv output drops out of the train step's HBM floor
+        # (PERF.md §1 binding constraint 1).  First-index-wins on ties
+        # (a valid subgradient; the reference's MaxpoolingComponent
+        # assigns to every tied element — both choices are subgradients
+        # of the same max).
+        wid = self._window_iota()
+        mask = v == y[:, :, None, :, None, :, None]
+        big = jnp.int32(self.pool_t * self.pool_f * self.pool_c)
+        idx = jnp.where(mask, wid, big).min(axis=(2, 4, 6))
+        w = self.pool_t * self.pool_f * self.pool_c
+        aux = (idx.astype(jnp.int8) if w < 128
+               else idx.astype(jnp.int32))
+        return y.reshape(n, self.output_dim), aux
 
     def backprop(self, params, in_value, out_value, out_deriv, aux):
-        n = in_value.shape[0]
+        n = out_deriv.shape[0]
+        d = out_deriv.reshape(n, self.out_t, 1, self.out_f, 1,
+                              self.out_c, 1)
+        if aux is not None:
+            # scatter along the stored argmax index: reads the tiny
+            # int8 aux + out_deriv instead of in_value AND out_value
+            idx = aux.astype(jnp.int32).reshape(
+                n, self.out_t, 1, self.out_f, 1, self.out_c, 1)
+            dx = jnp.where(self._window_iota() == idx, d, 0.0)
+            return dx.reshape(n, self.input_dim)
+        # aux-free path (inference-style callers): recompute the mask,
+        # splitting ties evenly
         v = self._blocks(in_value)
-        y = out_value.reshape(n, self.out_t, 1, self.out_f, 1, self.out_c, 1)
-        d = out_deriv.reshape(n, self.out_t, 1, self.out_f, 1, self.out_c, 1)
+        y = out_value.reshape(n, self.out_t, 1, self.out_f, 1,
+                              self.out_c, 1)
         mask = (v == y)
-        # split ties evenly (subgradient; the reference assigns to all)
         count = jnp.sum(mask, axis=(2, 4, 6), keepdims=True)
         dx = jnp.where(mask, d / jnp.maximum(count, 1), 0.0)
         return dx.reshape(n, self.input_dim)

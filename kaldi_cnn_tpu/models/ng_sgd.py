@@ -54,11 +54,25 @@ class OnlineNaturalGradient:
     is pure and jit-safe.  One instance per (layer, side)."""
 
     def __init__(self, rank: int = 40, eta: float = 0.1,
-                 alpha: float = 4.0, update_period: int = 1):
+                 alpha: float = 4.0, update_period: int = 1,
+                 warmup_updates: int = 64):
         self.rank = rank
         self.eta = eta          # forgetting factor toward the new batch
         self.alpha = alpha      # damping: F + alpha*tr(F)/D * I
         self.update_period = update_period
+        # update EVERY step for the first warmup_updates steps, then
+        # every update_period-th: the low-rank Fisher estimate needs
+        # tens of updates to leave its identity init (the oracle tests
+        # show basis overlap converging over ~100-200 updates), but
+        # once converged the basis drifts slowly and the latency-bound
+        # (2R)x(2R) eigh chain can be amortized hard.  Measured: a
+        # fixed period of 16 from step 0 costs ~0.05 nats of CE valid
+        # logprob on short runs; warmup + 16 matches period-4 quality
+        # at period-16 steady-state cost.
+        self.warmup_updates = warmup_updates
+
+    def _update_now(self, t) -> jnp.ndarray:
+        return (t < self.warmup_updates) | (t % self.update_period == 0)
 
     def init(self, dim: int, key: jnp.ndarray = None) -> NGState:
         r = min(self.rank, max(dim - 1, 1))
@@ -110,11 +124,12 @@ class OnlineNaturalGradient:
 
     def maybe_update_from_sample(self, state: NGState, xs: jnp.ndarray,
                                  x_energy: jnp.ndarray) -> NGState:
-        """update_period-gated state update from pre-sampled rows
-        xs [s, D] and the true mean row energy x_energy = ||X||²/N —
-        the fused-path twin of precondition()'s internal update."""
+        """update_period-gated (with warmup) state update from
+        pre-sampled rows xs [s, D] and the true mean row energy
+        x_energy = ||X||²/N — the fused-path twin of precondition()'s
+        internal update."""
         return jax.lax.cond(
-            state.t % self.update_period == 0,
+            self._update_now(state.t),
             lambda: self._update_from_sample(state, xs, x_energy),
             lambda: state._replace(t=state.t + 1),
         )
@@ -174,7 +189,7 @@ class OnlineNaturalGradient:
         """Returns (preconditioned rows, updated state)."""
         x = x.astype(jnp.float32)
         new_state = jax.lax.cond(
-            state.t % self.update_period == 0,
+            self._update_now(state.t),
             lambda: self._update(state, x),
             lambda: state._replace(t=state.t + 1),
         )
@@ -220,6 +235,101 @@ def ng_delta_from_stats(ng_in: OnlineNaturalGradient,
     new_in = ng_in.maybe_update_from_sample(state_in, xs, x_sq / n_rows)
     new_out = ng_out.maybe_update_from_sample(state_out, ds, d_sq / n_rows)
     return delta, new_in, new_out
+
+
+def ng_affine_apply(ng_in: OnlineNaturalGradient,
+                    ng_out: OnlineNaturalGradient,
+                    state_in: NGState, state_out: NGState,
+                    x: jnp.ndarray, d: jnp.ndarray,
+                    w: jnp.ndarray, b: jnp.ndarray,
+                    lr, max_change: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, NGState, NGState]:
+    """Factored NG-SGD weight update for an affine layer, never
+    materializing the ones-extended input, the preconditioned rows, or
+    the [out, in] delta.
+
+    Mathematically identical to
+    ``fused_ng_delta(..., [x|1], d)`` + max-change clip + apply (the
+    path this replaces; parity pinned by
+    tests/test_ng_oracle.py::test_ng_affine_apply_matches_fused), but:
+
+      * the bias column is handled analytically — G = [dᵀx | Σd],
+        projections of [x|1] onto u are x @ u_wᵀ + u_b — so the [N,
+        in+1] concatenated copy of the (possibly bf16) activation
+        never exists in HBM;
+      * delta stays in its rank-factored form
+        Δ = A·G + P@u_i + u_oᵀ@Q  (A scalar, P [out,Rᵢ], Q [Rₒ,in+1]),
+        applied straight into w with the adds fused — the materialize
+        + norm + apply path re-read the [out, in] delta three times;
+      * ‖Δ‖_F for the max-change clip comes from the factor algebra
+        (u rows orthonormal, the same assumption gamma() already
+        makes):  ‖Δ‖² = A²‖G‖² + ‖P‖² + ‖Q‖² + 2A⟨P, Gu_iᵀ⟩
+        + 2A⟨Q, u_oG⟩ + 2⟨u_oP, Qu_iᵀ⟩ — all O(dim·R) contractions.
+
+    This is the train step's per-step NG overhead reduction (PERF.md
+    §1 binding constraint 2): measured 12.75 -> ~11 ms at mb 4096 on
+    v5e with the state-update period at the reference default.
+    (ref: nnet-component.cc AffineComponentPreconditionedOnline::Update
+    semantics; nnet-precondition-online.cc update factorization.)
+    """
+    n = x.shape[0]
+    f32 = jnp.float32
+    # gradient GEMM + bias row (f32 accumulation via preferred types)
+    g_w = jnp.einsum("no,ni->oi", d, x, preferred_element_type=f32)
+    g_b = jnp.sum(d.astype(f32), axis=0)
+    u_i, u_o = state_in.u, state_out.u
+    u_iw, u_ib = u_i[:, :-1], u_i[:, -1]
+    a_i, c_i, _ = ng_in.factors(state_in)
+    a_o, c_o, _ = ng_out.factors(state_out)
+    # row-space projections for the norm-preserving rescale
+    p_in = (jnp.einsum("ni,ri->nr", x, u_iw.astype(x.dtype),
+                       preferred_element_type=f32)
+            + u_ib[None, :])                            # [N, Rᵢ]
+    p_out = jnp.einsum("no,ro->nr", d, u_o.astype(d.dtype),
+                       preferred_element_type=f32)      # [N, Rₒ]
+    x_sq = jnp.einsum("ni,ni->", x, x,
+                      preferred_element_type=f32) + n   # + ones column
+    d_sq = jnp.einsum("no,no->", d, d, preferred_element_type=f32)
+    gamma_in = ng_in.gamma(a_i, c_i, x_sq, jnp.sum(p_in * p_in, axis=0))
+    gamma_out = ng_out.gamma(a_o, c_o, d_sq,
+                             jnp.sum(p_out * p_out, axis=0))
+    # factored delta pieces (all small except the two final GEMMs)
+    gu_i = g_w @ u_iw.T + g_b[:, None] * u_ib[None, :]  # [out, Rᵢ]
+    uo_gw = u_o @ g_w                                   # [Rₒ, in]
+    uo_gb = u_o @ g_b                                   # [Rₒ]
+    uo_g_ui = u_o @ gu_i                                # [Rₒ, Rᵢ]
+    A = a_o * a_i
+    P = a_o * (gu_i * c_i)                              # [out, Rᵢ]
+    M = c_o[:, None] * uo_g_ui * c_i[None, :]           # [Rₒ, Rᵢ]
+    q_w = a_i * (c_o[:, None] * uo_gw) + M @ u_iw       # [Rₒ, in]
+    q_b = a_i * (c_o * uo_gb) + M @ u_ib                # [Rₒ]
+    gamma = gamma_in * gamma_out
+    if max_change > 0:
+        # ‖Δ‖²_F from the factors (u_i/u_o rows orthonormal)
+        g_sq = (jnp.sum(g_w * g_w) + jnp.sum(g_b * g_b))
+        q_sq = jnp.sum(q_w * q_w) + jnp.sum(q_b * q_b)
+        uo_g_ext = jnp.sum(q_w * uo_gw) + jnp.sum(q_b * uo_gb)
+        cross_pq = jnp.sum((u_o @ P) * (q_w @ u_iw.T
+                                        + q_b[:, None] * u_ib[None, :]))
+        nrm_sq = (A * A * g_sq + jnp.sum(P * P) + q_sq
+                  + 2.0 * A * jnp.sum(P * gu_i)
+                  + 2.0 * A * uo_g_ext
+                  + 2.0 * cross_pq)
+        norm = jnp.sqrt(jnp.maximum(nrm_sq, 0.0)) * gamma * jnp.abs(lr)
+        scale = jnp.minimum(1.0, max_change / jnp.maximum(norm, 1e-20))
+    else:
+        scale = 1.0
+    step = lr * scale * gamma
+    w_new = w + step * (A * g_w + P @ u_iw + u_o.T @ q_w)
+    b_new = b + step * (A * g_b + P @ u_ib + u_o.T @ q_b)
+    # state updates from sampled rows (ones column appended on the
+    # tiny [<=R, in] sample only)
+    xs = ng_in.sample_rows(x).astype(f32)
+    xs = jnp.concatenate([xs, jnp.ones((xs.shape[0], 1), f32)], axis=1)
+    ds = ng_out.sample_rows(d)
+    new_in = ng_in.maybe_update_from_sample(state_in, xs, x_sq / n)
+    new_out = ng_out.maybe_update_from_sample(state_out, ds, d_sq / n)
+    return w_new, b_new, new_in, new_out
 
 
 def fused_ng_delta(ng_in: OnlineNaturalGradient,

@@ -169,7 +169,7 @@ def run(
         return decode_utterances(hclg, lls, acoustic_scale=0.1,
                                  beam=60.0, lattice_beam=8.0,
                                  max_active=2000,
-                                 lattice_arcs_per_frame=1024,
+                                 lattice_arcs_per_frame=None,
                                  batch_size=max(
                                      8, len(mesh.devices.flatten())),
                                  mesh=mesh)

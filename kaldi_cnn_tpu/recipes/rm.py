@@ -241,7 +241,7 @@ def run(
         return decode_utterances(hclg2, lls, acoustic_scale=0.1,
                                  beam=60.0, lattice_beam=8.0,
                                  max_active=2000,
-                                 lattice_arcs_per_frame=1024)
+                                 lattice_arcs_per_frame=None)
 
     timer.reset()
     dev_nlats = nnet_decode(raw_dev, dev_fmllr)

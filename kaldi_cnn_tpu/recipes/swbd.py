@@ -170,7 +170,7 @@ def run(
         return decode_utterances(hclg, lls, acoustic_scale=0.1,
                                  beam=60.0, lattice_beam=8.0,
                                  max_active=2000,
-                                 lattice_arcs_per_frame=1024)
+                                 lattice_arcs_per_frame=None)
 
     dev_lats = nnet_decode(vol_dev, iv_dev)
     dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,

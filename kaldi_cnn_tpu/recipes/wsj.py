@@ -163,10 +163,9 @@ def run(
     eval_dnn: bool = False,
     decode_beam: float = 60.0,
     decode_max_active: int = 2000,
-    # 2048: the default-corpus decodes overflow 1024 on every run and
-    # auto-grow re-decodes at 2048 anyway — starting there halves the
-    # recipe's decode wall-clock (auto-grow still backstops)
-    decode_arcs_per_frame: int = 2048,
+    # None: derive the lattice record capacity from max_active
+    # (TpuTopKDecoder._derive_lattice_arcs) — zero auto-grow re-decodes
+    decode_arcs_per_frame: Optional[int] = None,
 ) -> Dict:
     """corpus: any object with the SyntheticCorpus shape (e.g. from
     recipes.datadir.corpus_from_data_dir); defaults to the synthetic

@@ -64,6 +64,14 @@ def mmi_train_nnet(
     import jax.numpy as jnp
     num_pdfs = len(am_priors)
     log_priors = np.log(np.maximum(am_priors, 1e-20))
+    # discriminative fine-tunes run tens of steps, not thousands: the
+    # throughput-motivated ng_update_period=16 default would leave the
+    # Fisher states nearly frozen for the whole phase, so pin the
+    # reference's period (nnet-precondition-online.cc default 4) here.
+    # Safe to mutate before the first discriminative_step: its jit
+    # cache entry ("disc") is traced on first use in this phase.
+    for ng in (net.ng_in, net.ng_out):
+        ng.update_period = min(ng.update_period, 4)
     history = []
     for it in range(num_iters):
         tot_objf, tot_frames = 0.0, 0

@@ -204,3 +204,48 @@ def test_training_dynamics_match_oracle():
     assert f_impl > f_plain, (f_impl, f_plain)
     assert f_oracle > f_plain, (f_oracle, f_plain)
     assert abs(f_impl - f_oracle) < 0.05, (f_impl, f_oracle, f_plain)
+
+
+def test_ng_affine_apply_matches_fused(rng):
+    """The factored affine update (analytic bias column, algebraic
+    max-change norm, delta never materialized) must match the
+    materialize-delta path built on fused_ng_delta([x|1], d)."""
+    import jax.numpy as jnp
+    from kaldi_cnn_tpu.models.ng_sgd import (
+        OnlineNaturalGradient, fused_ng_delta, ng_affine_apply)
+
+    ng_in = OnlineNaturalGradient(rank=6, eta=0.2, update_period=2)
+    ng_out = OnlineNaturalGradient(rank=5, eta=0.2, update_period=2)
+    din, dout, n = 24, 12, 48
+    st_in, st_out = ng_in.init(din + 1), ng_out.init(dout)
+    w = jnp.asarray(rng.normal(size=(dout, din)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(dout,)), jnp.float32)
+    lr, max_change = 0.05, 0.4
+    for step in range(6):
+        x = jnp.asarray(rng.normal(size=(n, din)), jnp.float32)
+        d = jnp.asarray(rng.normal(size=(n, dout)), jnp.float32)
+        ones = jnp.ones((n, 1), jnp.float32)
+        in_ext = jnp.concatenate([x, ones], axis=1)
+        delta, ref_in, ref_out = fused_ng_delta(
+            ng_in, ng_out, st_in, st_out, in_ext, d)
+        norm = jnp.sqrt(jnp.sum(delta * delta)) * abs(lr)
+        scale = jnp.minimum(1.0, max_change / jnp.maximum(norm, 1e-20))
+        ref_w = w + lr * scale * delta[:, :-1]
+        ref_b = b + lr * scale * delta[:, -1]
+        new_w, new_b, st_in2, st_out2 = ng_affine_apply(
+            ng_in, ng_out, st_in, st_out, x, d, w, b, lr, max_change)
+        # the factored norm assumes exactly-orthonormal u rows (like
+        # gamma already does); after updates the rows are orthonormal
+        # to ~1e-3, so the clip scale agrees to ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(new_w), np.asarray(ref_w),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(new_b), np.asarray(ref_b),
+                                   rtol=5e-3, atol=5e-4)
+        for got, ref in ((st_in2, ref_in), (st_out2, ref_out)):
+            np.testing.assert_allclose(np.asarray(got.u),
+                                       np.asarray(ref.u),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(got.d),
+                                       np.asarray(ref.d),
+                                       rtol=2e-4, atol=2e-4)
+        w, b, st_in, st_out = new_w, new_b, st_in2, st_out2

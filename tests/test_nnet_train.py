@@ -154,9 +154,11 @@ def test_train_step_ng_vs_plain_convergence(rng):
         # plain SGD == NG with near-zero adaptation (identity-ish F)
         if update_period == 0:
             net.ng_in = OnlineNaturalGradient(rank=1, eta=0.0,
-                                              update_period=10 ** 9)
+                                              update_period=10 ** 9,
+                                              warmup_updates=0)
             net.ng_out = OnlineNaturalGradient(rank=1, eta=0.0,
-                                               update_period=10 ** 9)
+                                               update_period=10 ** 9,
+                                               warmup_updates=0)
         params = net.init(jax.random.PRNGKey(3))
         opt = net.init_opt()
         for s in range(steps):
@@ -188,8 +190,13 @@ def test_fused_ng_delta_matches_materialized(rng):
     state update)."""
     from kaldi_cnn_tpu.models.ng_sgd import fused_ng_delta
 
-    ng_in = OnlineNaturalGradient(rank=6, eta=0.2, update_period=4)
-    ng_out = OnlineNaturalGradient(rank=5, eta=0.2, update_period=4)
+    # warmup_updates=0 so the period-4 gate's SKIP branch is really
+    # exercised within the 6 steps (the default warmup would update
+    # every step here)
+    ng_in = OnlineNaturalGradient(rank=6, eta=0.2, update_period=4,
+                                  warmup_updates=0)
+    ng_out = OnlineNaturalGradient(rank=5, eta=0.2, update_period=4,
+                                   warmup_updates=0)
     st_in = ng_in.init(24)
     st_out = ng_out.init(12)
     # run a few steps so the states leave the identity init and the
@@ -299,3 +306,40 @@ def test_train_storage_dtype_validation():
     assert net._storage_dtype() == jnp.bfloat16
     net.train_storage_dtype = "f32"
     assert net._storage_dtype() is None
+
+
+def test_ng_update_period_default_parity(rng):
+    """The round-5 default preconditioner schedule (update every step
+    for the first warmup_updates, then every 16th — amortizing the
+    latency-bound Fisher eigh chain once the estimate has converged)
+    must train the conv topology to the same place as the reference's
+    fixed period 4, measured PAST the warmup horizon."""
+    from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
+
+    cfg = ConvnetConfig(
+        in_t=6, in_f=12, in_c=1, filt_t=3, filt_f=5, num_filters=16,
+        pool_t=2, pool_f=2, pool_c=1, num_hidden_layers=1,
+        pnorm_input_dim=64, pnorm_output_dim=16, num_pdfs=8)
+
+    def run(reference_schedule: bool):
+        net = make_convnet(cfg, use_pallas=False)
+        if reference_schedule:       # fixed period 4, no warmup
+            net.ng_in = OnlineNaturalGradient(rank=net.ng_in.rank,
+                                              update_period=4,
+                                              warmup_updates=0)
+            net.ng_out = OnlineNaturalGradient(rank=net.ng_out.rank,
+                                               update_period=4,
+                                               warmup_updates=0)
+        params = net.init(jax.random.PRNGKey(7))
+        opt = net.init_opt()
+        r = np.random.default_rng(7)
+        x = jnp.asarray(r.normal(size=(64, net.input_dim)), jnp.float32)
+        labels = jnp.asarray(r.integers(0, cfg.num_pdfs, 64), jnp.int32)
+        for s in range(120):         # 2x the warmup horizon
+            params, opt, objf = net.train_step(
+                params, opt, x, labels, lr=0.05,
+                key=np.array([3, s], np.uint32))
+        return float(objf)
+
+    ref, ours = run(True), run(False)
+    assert ours > ref - 0.05, (ref, ours)

@@ -232,3 +232,23 @@ def test_decode_utterances_matches_host_wer(setup):
         _, w_h, c_h = shortest_path(lat_h, acoustic_scale=scale)
         assert list(w) == list(w_h)
         assert c == pytest.approx(c_h, rel=1e-4, abs=5e-2)
+
+
+def test_derived_lattice_sizing_no_overflow(setup):
+    """lattice_arcs_per_frame=None derives the capacity from
+    max_active; the derived sizing must decode without any auto-grow
+    re-decode (the round-4 bench overflowed its hand-tuned 2048 three
+    times before settling at 16384)."""
+    hclg, lls = setup
+    assert TpuTopKDecoder._derive_lattice_arcs(7000) == 16384
+    assert TpuTopKDecoder._derive_lattice_arcs(2000) == 4096
+    assert TpuTopKDecoder._derive_lattice_arcs(1) == 2048
+    dec = TpuTopKDecoder(hclg, beam=16.0, max_active=200,
+                         acoustic_scale=0.1, lattice_beam=8.0,
+                         lattice_arcs_per_frame=None)
+    assert dec.A_lat == TpuTopKDecoder._derive_lattice_arcs(dec.K)
+    before = dec.A_lat
+    lats = dec.decode_batch_lattice(lls[:2], determinize=False)
+    assert dec.A_lat == before, "derived sizing still overflowed"
+    assert dec.last_overflow == (0, 0)
+    assert all(l.num_arcs > 0 for l in lats)
