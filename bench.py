@@ -251,17 +251,53 @@ def decode_bench() -> dict:
         "rtf": round(ship_s / mixed_audio_s, 4),
         "audio_s": mixed_audio_s,
         "utts": len(shipped)}
-    # host decoder on ONE utterance (serial python) — extrapolated
+    # streaming decode: a 64 s stream fed in 320 ms chunks through
+    # TpuStreamingDecoder at the same reference settings (ref: the
+    # online2 pipeline's per-utterance RTF logging, SURVEY.md §3.5);
+    # scan-block jits dispatch once per chunk, the committed-prefix
+    # machinery bounds the host window
+    from kaldi_cnn_tpu.decode.topk_decoder import TpuStreamingDecoder
+    sdec = TpuStreamingDecoder(dec, commit_every=24)
+    prime = sample_loglikes(g, P, T=48, seed=9)
+    sdec.advance(prime[:33])       # compiles the 32-frame scan block
+    sdec.advance(prime[33:42])     # the 8-block
+    sdec.advance(prime[42:44])     # the 1-block
+    sdec.finalize()
+    sdec.reset()
+    T_s = 6400
+    ll_s = sample_loglikes(g, P, T=T_s, seed=11)
+    max_window = 0
     t0 = time.perf_counter()
-    lattice_decode(g, lls[0], acoustic_scale=1.0, beam=15.0,
-                   lattice_beam=8.0, max_active=7000)
+    for i in range(0, T_s, 32):
+        sdec.advance(ll_s[i:i + 32])
+        max_window = max(max_window, len(sdec._buf))
+    sdec.finalize()
+    _, words_s, _ = sdec.best_path()
+    stream_s = time.perf_counter() - t0
+    import resource
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    out["tpu_streaming"] = {
+        "s": round(stream_s, 3), "audio_s": T_s / FRAMES_PER_SECOND,
+        "rtf": round(stream_s / (T_s / FRAMES_PER_SECOND), 4),
+        "max_window_levels": int(max_window),
+        "words": int(len(words_s)),
+        "host_rss_mb": round(rss_mb, 0)}
+
+    # host decoder (serial python) on 3 utterances — still a sample of
+    # the 16-utt batch the TPU rows decode, but no longer a
+    # single-utterance extrapolation
+    n_host = 3
+    t0 = time.perf_counter()
+    for i in range(n_host):
+        lattice_decode(g, lls[i], acoustic_scale=1.0, beam=15.0,
+                       lattice_beam=8.0, max_active=7000)
     host_s = time.perf_counter() - t0
-    out["host_lattice_1utt"] = {
-        "s": round(host_s, 3),
-        "rtf": round(host_s / (T / FRAMES_PER_SECOND), 4),
-        "extrapolated_from_1utt": True}
-    out["tpu_vs_host_speedup"] = round(
-        (host_s / (T / FRAMES_PER_SECOND)) / (lat_s / audio_s), 2)
+    host_rtf = host_s / (n_host * T / FRAMES_PER_SECOND)
+    out["host_lattice"] = {
+        "s": round(host_s, 3), "utts": n_host,
+        "rtf": round(host_rtf, 4),
+        "sampled_from_batch": True}
+    out["tpu_vs_host_speedup"] = round(host_rtf / (lat_s / audio_s), 2)
     return out
 
 

@@ -188,7 +188,9 @@ def run(
     logger.info("librispeech-style test WER %.2f%% (%d err / %d words)",
                 result["wer"], result["errors"], result["words"])
     if metrics:
-        metrics.write("librispeech_result", **result)
+        metrics.write("librispeech_result",
+                      **{k: v for k, v in result.items()
+                         if not isinstance(v, dict)})
     return result
 
 

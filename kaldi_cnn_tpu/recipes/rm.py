@@ -114,9 +114,13 @@ def run(
     corpus=None,
     exp_dir: Optional[str] = None,
     stage: int = 0,
+    eval_utts: int = 0,
 ) -> Dict:
     """exp_dir/stage: stage-guarded execution (ref: the reference
-    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py."""
+    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py.
+    eval_utts > 0: dev/test come from a dedicated eval corpus of that
+    many utterances (disjoint seed) and the whole main corpus trains —
+    the statistically-sized ledger configuration (see wsj.py)."""
     import jax
     from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import PnormDnnConfig, make_pnorm_dnn
@@ -125,14 +129,21 @@ def run(
     from kaldi_cnn_tpu.models.nnet import AmNnet
 
     sr = make_runner(exp_dir, stage)
+    synthetic_corpus = corpus is None
     if corpus is None:
         lex = synthetic.digits_lexicon()
         wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
         corpus = synthetic.make_corpus(lex, wp, num_utts, 1, 4, seed)
     else:
         lex, wp = corpus.lexicon, corpus.word_probs
-    traindev, test = corpus.split(0.2)
-    train, dev = traindev.split(0.15)
+    if eval_utts > 0 and synthetic_corpus:
+        eval_corpus = synthetic.make_corpus(lex, wp, eval_utts, 1, 4,
+                                            seed + 9001)
+        dev, test = eval_corpus.split(0.5)
+        train = corpus
+    else:
+        traindev, test = corpus.split(0.2)
+        train, dev = traindev.split(0.15)
     logger.info("corpus: %d train / %d dev / %d test",
                 len(train.waves), len(dev.waves), len(test.waves))
     timer = Timer()
@@ -266,7 +277,9 @@ def run(
                 "(%d err / %d words)", gmm_test["wer"], result["wer"],
                 result["errors"], result["words"])
     if metrics:
-        metrics.write("rm_result", **result)
+        metrics.write("rm_result",
+                      **{k: v for k, v in result.items()
+                         if not isinstance(v, dict)})
     return result
 
 

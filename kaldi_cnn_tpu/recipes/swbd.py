@@ -46,9 +46,20 @@ def run(
     metrics: Optional[MetricsWriter] = None,
     exp_dir: Optional[str] = None,
     stage: int = 0,
+    eval_utts_per_speaker: int = 0,
+    use_pitch: bool = False,
 ) -> Dict:
     """exp_dir/stage: stage-guarded execution (ref: the reference
-    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py."""
+    recipes' --stage resume; SURVEY.md §5.3) — see recipes/wsj.py.
+    eval_utts_per_speaker > 0: each speaker contributes that many
+    EXTRA utterances used only for dev/test (split evenly), so the
+    eval sets scale without touching training cost — the
+    statistically-sized ledger configuration (see wsj.py).
+    use_pitch: append the processed 3-column Kaldi-pitch stream
+    (pov, normalized log pitch, delta pitch — features/pitch.py) to
+    every frame's auxiliary input alongside the iVector, bypassing the
+    conv front end (ref: the swbd pitch recipes' fbank+pitch inputs,
+    process-kaldi-pitch-feats | paste-feats)."""
     import jax
     from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import (
@@ -61,9 +72,19 @@ def run(
     lex = synthetic.digits_lexicon()
     wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
     corpus, spk_of = synthetic.make_speaker_corpus(
-        lex, wp, num_speakers, utts_per_speaker, 1, 4, seed)
-    train, test = corpus.split(0.2)
-    train, dev = train.split(0.15)
+        lex, wp, num_speakers,
+        utts_per_speaker + eval_utts_per_speaker, 1, 4, seed)
+    if eval_utts_per_speaker > 0:
+        def _j(u):
+            return int(u.rsplit("_utt", 1)[1])
+        train = corpus.subset(
+            [u for u in corpus.waves if _j(u) < utts_per_speaker])
+        evalc = [u for u in corpus.waves if _j(u) >= utts_per_speaker]
+        dev = corpus.subset([u for u in evalc if _j(u) % 2 == 0])
+        test = corpus.subset([u for u in evalc if _j(u) % 2 == 1])
+    else:
+        train, test = corpus.split(0.2)
+        train, dev = train.split(0.15)
     logger.info("corpus: %d train / %d dev / %d test over %d speakers",
                 len(train.waves), len(dev.waves), len(test.waves),
                 num_speakers)
@@ -113,14 +134,38 @@ def run(
     vol_dev = compute_fbank_volumes(dev, num_bins, seed + 1)
     vol_te = compute_fbank_volumes(test, num_bins, seed + 2)
 
+    aux_dim = ivector_dim + (3 if use_pitch else 0)
+
+    def aux_rows(corpus_set, vols, ivs):
+        """Per-utterance [T, aux_dim] auxiliary rows: the utterance
+        iVector repeated per frame (ref: the online pipeline appends
+        the current iVector estimate per chunk) + the per-frame
+        processed pitch stream when use_pitch."""
+        from kaldi_cnn_tpu.features.pitch import (
+            compute_and_process_pitch)
+        out = {}
+        for utt, v in vols.items():
+            T = v.shape[0]
+            a = np.repeat(ivs[utt][None, :], T, axis=0)
+            if use_pitch:
+                pf = compute_and_process_pitch(
+                    np.asarray(corpus_set.waves[utt], np.float64))
+                if len(pf) < T:
+                    pf = np.pad(pf, ((0, T - len(pf)), (0, 0)),
+                                mode="edge")
+                a = np.concatenate([a, pf[:T]], axis=1)
+            out[utt] = a.astype(np.float32)
+        return out
+
+    aux_tr = aux_rows(train, vol_tr, iv_tr)
+    aux_dev = aux_rows(dev, vol_dev, iv_dev)
+    aux_te = aux_rows(test, vol_te, iv_te)
+
     tid2pdf = tri.trans_model.trans_id_to_pdf_array()
     num_pdfs = tri.trans_model.num_pdfs
     egs_vol = make_cnn_egs(vol_tr, ali1, tid2pdf, left, right, seed)
-    # append the utterance iVector to every row (ref: the online
-    # pipeline appends the current iVector estimate per chunk)
     ivec_rows = np.concatenate([
-        np.repeat(iv_tr[u][None, :], vol_tr[u].shape[0], axis=0)
-        for u in sorted(vol_tr) if u in ali1
+        aux_tr[u] for u in sorted(vol_tr) if u in ali1
         and len(ali1[u]) == vol_tr[u].shape[0]])
     from kaldi_cnn_tpu.core.rng import np_rng
     perm = np_rng(seed, "cnn_egs_shuffle").permutation(len(egs_vol.y))
@@ -140,7 +185,7 @@ def run(
         pool_t=2, pool_f=3, pool_c=1,
         num_hidden_layers=2, pnorm_input_dim=800, pnorm_output_dim=160,
         num_pdfs=num_pdfs)
-    net = make_convnet_ivector(cfg, ivector_dim=ivector_dim,
+    net = make_convnet_ivector(cfg, ivector_dim=aux_dim,
                                use_pallas=None)
     assert net.input_dim == egs_train.x.shape[1]
     timer.reset()
@@ -158,13 +203,12 @@ def run(
     hclg = CompiledGraph(make_hclg_from_arpa(tri, make_unigram_arpa(wp)),
                          tid2pdf)
 
-    def nnet_decode(vols, ivs):
+    def nnet_decode(vols, aux):
         from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
         lls = {}
         for utt, v in vols.items():
             x = splice_volume(v, left, right)
-            x = np.concatenate(
-                [x, np.repeat(ivs[utt][None, :], x.shape[0], 0)], axis=1)
+            x = np.concatenate([x, aux[utt][:x.shape[0]]], axis=1)
             lls[utt] = np.asarray(am_nnet.loglikes(params, x))
         # production path: batched TPU top-K lattice decode
         return decode_utterances(hclg, lls, acoustic_scale=0.1,
@@ -172,21 +216,23 @@ def run(
                                  max_active=2000,
                                  lattice_arcs_per_frame=None)
 
-    dev_lats = nnet_decode(vol_dev, iv_dev)
+    dev_lats = nnet_decode(vol_dev, aux_dev)
     dev_wer, pt, _ = score_sweep(dev_lats, dev.transcripts,
                                  tri.word_table)
     logger.info("CNN+ivec dev WER %.2f%% at %s", dev_wer, pt)
-    test_lats = nnet_decode(vol_te, iv_te)
+    test_lats = nnet_decode(vol_te, aux_te)
     hyps = {}
     for utt, lat in test_lats.items():
         _, wids, _ = shortest_path(lat, 1.0, pt[0], pt[1])
         hyps[utt] = [tri.word_table.sym(int(w)) for w in wids]
     result = wer_details(test.transcripts, hyps)
-    result.update(dev_wer=dev_wer)
+    result.update(dev_wer=dev_wer, use_pitch=use_pitch)
     logger.info("swbd CNN+ivec test WER %.2f%% (%d err / %d words)",
                 result["wer"], result["errors"], result["words"])
     if metrics:
-        metrics.write("swbd_result", **result)
+        metrics.write("swbd_result",
+                      **{k: v for k, v in result.items()
+                         if not isinstance(v, dict)})
     return result
 
 

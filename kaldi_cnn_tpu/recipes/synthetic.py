@@ -121,6 +121,14 @@ class SyntheticCorpus:
                 self.sample_rate)
         return pick(False), pick(True)
 
+    def subset(self, utts) -> "SyntheticCorpus":
+        keep = set(utts)
+        return SyntheticCorpus(
+            self.lexicon, self.word_probs,
+            {u: w for u, w in self.waves.items() if u in keep},
+            {u: t for u, t in self.transcripts.items() if u in keep},
+            self.sample_rate)
+
 
 def make_corpus(
     lexicon: Lexicon,

@@ -166,6 +166,13 @@ def run(
     # None: derive the lattice record capacity from max_active
     # (TpuTopKDecoder._derive_lattice_arcs) — zero auto-grow re-decodes
     decode_arcs_per_frame: Optional[int] = None,
+    # >0: dev/test come from a DEDICATED eval corpus of this many
+    # utterances (same lexicon/noise hardening, disjoint seed) and the
+    # whole main corpus trains — the ledger runs use 600 so the test
+    # set holds >=1000 words and the CNN-vs-DNN delta clears its own
+    # binomial noise (paired_sign_test); 0 keeps the historical
+    # 160-utt 80/20 split for cheap smoke runs
+    eval_utts: int = 0,
 ) -> Dict:
     """corpus: any object with the SyntheticCorpus shape (e.g. from
     recipes.datadir.corpus_from_data_dir); defaults to the synthetic
@@ -196,6 +203,7 @@ def run(
     from kaldi_cnn_tpu.train.egs import Egs
     from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
 
+    synthetic_corpus = corpus is None
     if corpus is None:
         lex = synthetic.digits_lexicon()
         wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
@@ -204,8 +212,17 @@ def run(
             formant_jitter=formant_jitter)
     else:
         lex, wp = corpus.lexicon, corpus.word_probs
-    traindev, test = corpus.split(0.2)
-    train, dev = traindev.split(0.15)
+    if eval_utts > 0 and synthetic_corpus:
+        # dedicated large eval corpus: all of `corpus` trains, dev and
+        # test are fresh draws from the same distribution
+        eval_corpus = synthetic.make_noisy_corpus(
+            lex, wp, eval_utts, 2, 5, seed + 9001,
+            noise_std=noise_std, formant_jitter=formant_jitter)
+        dev, test = eval_corpus.split(0.5)
+        train = corpus
+    else:
+        traindev, test = corpus.split(0.2)
+        train, dev = traindev.split(0.15)
     logger.info("corpus: %d train / %d dev / %d test",
                 len(train.waves), len(dev.waves), len(test.waves))
 
@@ -367,9 +384,24 @@ def run(
             np.bincount(egs_train.y, minlength=num_pdfs))
         dres = decode_and_score(dnn_am, dnn_params, "WSJ-DNN")
         result.update(dnn_wer=dres["wer"], dnn_dev_wer=dres["dev_wer"],
+                      dnn_errors=dres["errors"],
                       dnn_valid_logprob=_valid_lp(dnn, dnn_params))
+        # matched-pairs significance of the CNN-vs-DNN delta on the
+        # shared test set (ref: sclite sig-test discipline on the
+        # egs/*/RESULTS comparisons)
+        from kaldi_cnn_tpu.decode.score import paired_sign_test
+        sig = paired_sign_test(result["per_utt"], dres["per_utt"])
+        result.update(cnn_better_utts=sig["a_better"],
+                      dnn_better_utts=sig["b_better"],
+                      cnn_vs_dnn_p=sig["p_value"])
+        logger.info(
+            "CNN vs DNN matched pairs: CNN better on %d utts, DNN on "
+            "%d, two-sided sign-test p=%.4f", sig["a_better"],
+            sig["b_better"], sig["p_value"])
     if metrics:
-        metrics.write("wsj_cnn_result", **result)
+        metrics.write("wsj_cnn_result",
+                      **{k: v for k, v in result.items()
+                         if not isinstance(v, dict)})
     return result
 
 

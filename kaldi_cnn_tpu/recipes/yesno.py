@@ -117,7 +117,9 @@ def run(
                 result["wer"], result["errors"], result["words"],
                 result["decode_rtf"])
     if metrics:
-        metrics.write("yesno_wer", **result)
+        metrics.write("yesno_wer",
+                      **{k: v for k, v in result.items()
+                         if not isinstance(v, dict)})
     return result
 
 

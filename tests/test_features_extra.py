@@ -108,3 +108,98 @@ def test_compressed_ark_roundtrip(tmp_path, rng):
     assert set(back) == set(mats)
     for u in mats:
         assert np.abs(back[u] - mats[u]).max() < 0.2
+
+
+def test_nccf_fft_matches_direct_loop(rng):
+    """The batched FFT-autocorrelation NCCF must equal the direct
+    O(T*lags*window) definition (the round-4 implementation, kept here
+    as the oracle)."""
+    from kaldi_cnn_tpu.features.pitch import nccf_frames
+
+    sr = 8000.0
+    opts = PitchOptions(samp_freq=sr, num_lags=24)
+    t = np.arange(int(sr * 0.3)) / sr
+    wave = (np.sin(2 * np.pi * 130 * t)
+            + 0.3 * rng.normal(size=len(t))).astype(np.float64)
+    got, lags = nccf_frames(wave, opts)
+    shift = int(sr * opts.frame_shift_ms / 1000.0)
+    wlen = int(sr * opts.frame_length_ms / 1000.0)
+    T = (len(wave) - wlen) // shift + 1
+    ref = np.zeros((T, len(lags)))
+    for ti in range(T):
+        seg = wave[ti * shift: ti * shift + wlen]
+        seg = seg - seg.mean()
+        for j, lag in enumerate(lags):
+            a, b = seg[:wlen - lag], seg[lag:]
+            denom = np.sqrt((np.dot(a, a) + 1e-10)
+                            * (np.dot(b, b) + 1e-10))
+            ref[ti, j] = np.dot(a, b) / denom
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
+
+
+def test_process_pitch_columns(rng):
+    """process-kaldi-pitch-feats semantics: 3 columns, POV feature in
+    the reference's (1.0001-nccf)^0.15 shape, normalized log pitch
+    ~zero-mean over voiced regions, delta ~zero for constant pitch."""
+    from kaldi_cnn_tpu.features.pitch import (compute_and_process_pitch,
+                                              process_pitch)
+
+    sr = 8000.0
+    t = np.arange(int(sr * 1.0)) / sr
+    wave = np.sin(2 * np.pi * 120 * t) * 1000
+    out = compute_and_process_pitch(wave, PitchOptions(samp_freq=sr))
+    assert out.shape[1] == 3
+    assert np.isfinite(out).all()
+    # constant pitch: delta column ~0, normalized log pitch ~0
+    assert np.abs(out[5:-5, 2]).max() < 0.2
+    assert np.abs(out[5:-5, 1]).mean() < 0.1
+    # POV feature: monotone decreasing in nccf, in (-2, 0] for scale 2
+    raw = np.stack([np.linspace(-0.5, 1.0, 16),
+                    np.full(16, 120.0)], axis=1).astype(np.float32)
+    pf = process_pitch(raw, PitchOptions(samp_freq=sr))
+    assert (np.diff(pf[:, 0]) < 0).all()
+    # range: +0.22 at nccf=-1 (unvoiced) down to -1.5 at nccf=1
+    assert pf[:, 0].max() < 0.3 and pf[:, 0].min() > -2.0
+
+
+def test_pitch_corpus_scale_speed():
+    """VERDICT round-4 weak #8 'done' bar: corpus-scale pitch in
+    seconds — 60 s of audio must process in well under 5 s (the old
+    per-frame loops took ~2 s per SECOND of audio)."""
+    import time
+
+    from kaldi_cnn_tpu.features.pitch import compute_and_process_pitch
+
+    sr = 16000.0
+    t = np.arange(int(sr * 60)) / sr
+    wave = np.sin(2 * np.pi * (120 + 30 * np.sin(2 * np.pi * 0.3 * t))
+                  * t) * 500
+    t0 = time.perf_counter()
+    out = compute_and_process_pitch(wave, PitchOptions(samp_freq=sr))
+    dt = time.perf_counter() - t0
+    assert out.shape[0] >= 5990
+    assert dt < 5.0, f"pitch too slow: {dt:.1f}s for 60s audio"
+
+
+def test_online_pitch_matches_offline_tail(rng):
+    """The online extractor's committed+window track must agree with
+    the offline track except possibly inside re-smoothing distance of
+    commit boundaries (lagged commitment, like the reference's online
+    pitch)."""
+    from kaldi_cnn_tpu.features.pitch import (OnlinePitchExtractor,
+                                              raw_pitch)
+
+    sr = 8000.0
+    opts = PitchOptions(samp_freq=sr)
+    t = np.arange(int(sr * 2.0)) / sr
+    wave = (np.sin(2 * np.pi * (110 + 40 * t) * t) * 800
+            + 20 * rng.normal(size=len(t)))
+    online = OnlinePitchExtractor(opts, recompute_window=80)
+    for i in range(0, len(wave), 1600):
+        online.accept_waveform(wave[i:i + 1600])
+    got = online.input_finished()
+    ref = raw_pitch(wave, opts)
+    assert got.shape == ref.shape
+    # pitch tracks agree on the vast majority of frames
+    agree = np.mean(np.abs(got[:, 1] - ref[:, 1]) < 1.0)
+    assert agree > 0.9, agree

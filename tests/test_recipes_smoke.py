@@ -88,41 +88,37 @@ def test_wsj_stage_resume(tmp_path):
 
 
 def test_wsj_cnn_beats_dnn_ledger():
-    """Round-3 VERDICT item 1 'done' bar: the fork's headline claim —
-    Conv2D+Maxpool3D beats the matched p-norm DNN on identical egs —
-    asserted at full recipe scale on the hardened noisy corpus, with a
-    non-trivial WER band (a recipe regressing to chance, saturating to
-    0, or the CNN losing its modeling edge fails CI).
-
-    Ledger numbers (full scale, seed 37): TPU v5e (bf16 train) CNN
-    0.85 % vs DNN 2.54 % test WER; f32 CPU backend CNN/DNN orderings of
-    the 118-word test set are seed-variance dominated, so the
-    all-backend assertion is on held-out log-probability (the
-    low-variance modeling-quality signal, the reference's
-    compute_prob_valid diagnostic) and the WER-ordering assertion runs
-    on the TPU backend the product ships on."""
-    import jax
-
+    """Round-3 VERDICT item 1 'done' bar, statistically sized in
+    round 5: the fork's headline claim — Conv2D+Maxpool3D beats the
+    matched p-norm DNN on identical egs — asserted at full recipe
+    scale on the hardened noisy corpus with a DEDICATED >=1000-word
+    test set (eval_utts=600 -> ~300 test utts), so the ordering is
+    asserted on EVERY backend, not just TPU, and the delta is checked
+    against its own binomial noise via the matched-pairs sign test
+    (decode/score.paired_sign_test)."""
     from kaldi_cnn_tpu.recipes import wsj
-    res = wsj.run(eval_dnn=True)
-    assert res["words"] >= 100
+    res = wsj.run(eval_dnn=True, eval_utts=600)
+    assert res["words"] >= 1000
     # non-trivial WER band: not saturated to 0, far from chance
     assert 0.0 < res["wer"] < 30.0, res
     assert 0.0 < res["dnn_wer"] < 30.0, res
     # the CNN must model the data at least as well as the DNN
     assert res["valid_logprob"] >= res["dnn_valid_logprob"], res
-    if jax.default_backend() == "tpu":
-        assert res["wer"] <= res["dnn_wer"], res
+    # WER ordering on the shared large test set, any backend
+    assert res["wer"] <= res["dnn_wer"], res
+    # and the delta must not be a coin flip: more utts improved than
+    # degraded by the CNN (strict significance is recorded in
+    # RESULTS.md; CI asserts the direction of the paired statistic)
+    assert res["cnn_better_utts"] >= res["dnn_better_utts"], res
 
 
 def test_rm_dnn_beats_gmm_ledger():
-    """RM ledger at full recipe scale: the p-norm DNN on fMLLR features
-    beats the GMM-SAT baseline it was seeded from (the reference's
-    RESULTS ordering), inside a non-trivial WER band.  Measured:
-    DNN 6.58 % vs tri3b 10.53 % test (TPU, round 4); 2.63 % vs 22.37 %
-    (CPU, round 1)."""
+    """RM ledger at full recipe scale, statistically sized in round 5
+    (dedicated >=1000-word eval corpus): the p-norm DNN on fMLLR
+    features beats the GMM-SAT baseline it was seeded from (the
+    reference's RESULTS ordering), inside a non-trivial WER band."""
     from kaldi_cnn_tpu.recipes import rm
-    res = rm.run()
-    assert res["words"] >= 50
+    res = rm.run(eval_utts=800)
+    assert res["words"] >= 1000
     assert 0.0 < res["wer"] < 25.0, res
     assert res["wer"] < res["gmm_test_wer"], res
