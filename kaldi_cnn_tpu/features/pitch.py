@@ -39,6 +39,12 @@ class PitchOptions:
     max_f0: float = 400.0
     penalty_factor: float = 0.1
     num_lags: int = 64
+    # short-lag preference: the NCCF of a periodic frame is ~1 at every
+    # multiple of the true lag, so the Viterbi local cost subtracts
+    # lag_bias * log(lag / min_lag) — the octave-error guard playing
+    # the role of the reference's ballast + soft-min-f0 machinery
+    # (ref: pitch-functions.cc nccf_ballast / soft_min_f0)
+    lag_bias: float = 0.01
     # ProcessPitch (ref: pitch-functions.cc ProcessPitchOptions)
     normalization_left_context: int = 75
     normalization_right_context: int = 75
@@ -104,12 +110,13 @@ def raw_pitch(wave: np.ndarray, opts: Optional[PitchOptions] = None
         return np.zeros((0, 2), np.float32)
     loglag = np.log(lags)
     pen = opts.penalty_factor * (loglag[None, :] - loglag[:, None]) ** 2
-    cost = -nccf[0]
+    bias = opts.lag_bias * (loglag - loglag[0])   # octave-error guard
+    cost = -(nccf[0] - bias)
     back = np.zeros((T, L), np.int32)
     for t in range(1, T):
         tot = cost[:, None] + pen
         back[t] = np.argmin(tot, axis=0)
-        cost = tot[back[t], np.arange(L)] - nccf[t]
+        cost = tot[back[t], np.arange(L)] - (nccf[t] - bias)
     path = np.zeros(T, np.int32)
     path[-1] = int(np.argmin(cost))
     for t in range(T - 1, 0, -1):

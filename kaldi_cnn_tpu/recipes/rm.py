@@ -284,6 +284,11 @@ def run(
 
 
 if __name__ == "__main__":
+    import argparse
     import sys
-    res = run()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval-utts", type=int, default=0,
+                    help="dedicated eval corpus size (ledger runs: 800)")
+    a = ap.parse_args()
+    res = run(eval_utts=a.eval_utts)
     sys.exit(0 if res["wer"] <= max(res["gmm_test_wer"], 2.0) else 1)

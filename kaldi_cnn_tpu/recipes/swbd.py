@@ -237,6 +237,14 @@ def run(
 
 
 if __name__ == "__main__":
+    import argparse
     import sys
-    res = run()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--eval-utts-per-speaker", type=int, default=0,
+                    help="extra eval utts per speaker (ledger runs: 34)")
+    ap.add_argument("--pitch", action="store_true",
+                    help="append the processed Kaldi-pitch stream")
+    a = ap.parse_args()
+    res = run(eval_utts_per_speaker=a.eval_utts_per_speaker,
+              use_pitch=a.pitch)
     sys.exit(0 if res["wer"] < 20.0 else 1)

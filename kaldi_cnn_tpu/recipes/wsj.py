@@ -421,6 +421,10 @@ if __name__ == "__main__":
     ap.add_argument("--exp-dir", default=None,
                     help="experiment dir for per-stage artifacts "
                          "(enables --stage resume)")
+    ap.add_argument("--eval-utts", type=int, default=0,
+                    help="dedicated eval corpus size (ledger runs: 600)")
+    ap.add_argument("--eval-dnn", action="store_true",
+                    help="also train/decode the matched p-norm DNN")
     ap.add_argument("--stage", default="0",
                     help="resume from this stage index; 'auto' resumes "
                          "after the last completed stage")
@@ -439,6 +443,7 @@ if __name__ == "__main__":
         stage = (auto_stage(a.exp_dir) if a.stage == "auto"
                  else int(a.stage))
     res = run(use_pallas=a.pallas, corpus=corpus, ext_alignments=ext,
-              ext_ali_mdl=a.ali_mdl, exp_dir=a.exp_dir, stage=stage)
+              ext_ali_mdl=a.ali_mdl, exp_dir=a.exp_dir, stage=stage,
+              eval_utts=a.eval_utts, eval_dnn=a.eval_dnn)
     import sys
     sys.exit(0 if res["wer"] < 10.0 else 1)

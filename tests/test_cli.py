@@ -212,3 +212,28 @@ def test_cmvn_stats_verbs(tmp_path, rng):
     # per-speaker stats shift both utts by the SAME mean: per-utt means
     # differ from zero
     assert np.abs(normed["u1"].mean(axis=0)).max() > 0.1
+
+
+def test_pitch_verbs(tmp_path):
+    """compute-kaldi-pitch-feats | process-kaldi-pitch-feats pipe
+    (ref: featbin compute/process-kaldi-pitch-feats)."""
+    sr = 8000
+    t = np.arange(sr) / sr
+    wave = (np.sin(2 * np.pi * 150 * t) * 8000).astype(np.int16)
+    wav = tmp_path / "p.wav"
+    write_wave(str(wav), wave, float(sr))
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"utt1 {wav}\n")
+    raw_ark = str(tmp_path / "pitch.ark")
+    assert cli.main(["compute-kaldi-pitch-feats", str(scp),
+                     raw_ark]) == 0
+    raw = dict(read_mat_ark(raw_ark))["utt1"]
+    assert raw.shape[1] == 2
+    # a clean 150 Hz tone: pitch within 10% on interior frames
+    assert np.abs(raw[5:-5, 1] - 150.0).max() < 15.0
+    proc_ark = str(tmp_path / "pitchp.ark")
+    assert cli.main(["process-kaldi-pitch-feats", raw_ark,
+                     proc_ark]) == 0
+    proc = dict(read_mat_ark(proc_ark))["utt1"]
+    assert proc.shape == (raw.shape[0], 3)
+    assert np.isfinite(proc).all()
