@@ -257,3 +257,25 @@ def test_component_pickle_roundtrip(key):
         [type(c).__name__ for c in net.components]
     assert net2.input_dim == net.input_dim
     assert net2.output_dim == net.output_dim
+
+
+def test_maxpool3d_train_aux_matches_mask_path(rng):
+    """The train path stores the argmax window index as aux and
+    backprops by scattering along it; on tie-free input this must
+    equal the aux-free v==y mask path exactly, and must satisfy the
+    numeric gradient check."""
+    c = Maxpooling3DComponent(in_t=4, in_f=6, in_c=4, pool_t=2,
+                              pool_f=3, pool_c=2)
+    x = rng.normal(size=(3, c.input_dim)).astype(np.float32)
+    x += rng.uniform(0.0, 0.01, x.shape).astype(np.float32)
+    y_tr, aux = c.forward({}, jnp.asarray(x), train=True)
+    y_inf, aux_inf = c.forward({}, jnp.asarray(x), train=False)
+    assert aux is not None and aux_inf is None
+    np.testing.assert_array_equal(np.asarray(y_tr), np.asarray(y_inf))
+    d = rng.normal(size=y_tr.shape).astype(np.float32)
+    via_aux = np.asarray(c.backprop({}, jnp.asarray(x), y_tr,
+                                    jnp.asarray(d), aux))
+    via_mask = np.asarray(c.backprop({}, jnp.asarray(x), y_inf,
+                                     jnp.asarray(d), None))
+    np.testing.assert_allclose(via_aux, via_mask, atol=1e-6)
+    check_backprop(c, {}, x, rng, aux=aux)
