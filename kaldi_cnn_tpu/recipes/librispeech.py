@@ -49,12 +49,16 @@ def run(
     egs_dir: Optional[str] = None,
     exp_dir: Optional[str] = None,
     stage: int = 0,
+    eval_utts: int = 0,
 ) -> Dict:
     """egs_dir: directory for the on-disk sharded egs store the
     training streams from (ref: steps/nnet2/get_egs.sh — at 960h the
     spliced egs cannot live in RAM); a temp dir when not given.
     exp_dir/stage: stage-guarded execution (ref: --stage resume,
-    SURVEY.md §5.3) — see recipes/wsj.py."""
+    SURVEY.md §5.3) — see recipes/wsj.py.  eval_utts > 0: dev/test
+    come from a dedicated eval corpus of that many utterances
+    (disjoint seed) while the whole main corpus trains — the
+    statistically-sized ledger configuration (see wsj.py)."""
     import jax
     from kaldi_cnn_tpu.core.stages import make_runner
     from kaldi_cnn_tpu.models.factory import ConvnetConfig, make_convnet
@@ -69,14 +73,21 @@ def run(
                 len(mesh.devices.flatten()), mh.process_id,
                 mh.num_processes)
 
+    synthetic_corpus = corpus is None
     if corpus is None:
         lex = synthetic.digits_lexicon()
         wp = {w: 1.0 / len(lex.entries) for w in lex.entries}
         corpus = synthetic.make_corpus(lex, wp, num_utts, 2, 5, seed)
     else:
         lex, wp = corpus.lexicon, corpus.word_probs
-    train, test = corpus.split(0.15)
-    train, dev = train.split(0.1)
+    if eval_utts > 0 and synthetic_corpus:
+        eval_corpus = synthetic.make_corpus(lex, wp, eval_utts, 2, 5,
+                                            seed + 9001)
+        dev, test = eval_corpus.split(0.5)
+        train = corpus
+    else:
+        train, test = corpus.split(0.15)
+        train, dev = train.split(0.1)
 
     # per-host utterance shard (ref: utils/split_data.sh)
     local_utts = set(shard_utterances(list(train.waves), mh))

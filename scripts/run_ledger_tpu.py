@@ -43,7 +43,7 @@ def main():
             res = wsj.run(eval_dnn=True, eval_utts=600)
         elif step == "rm":
             from kaldi_cnn_tpu.recipes import rm
-            res = rm.run(eval_utts=800)
+            res = rm.run(eval_utts=900)
         elif step == "swbd":
             from kaldi_cnn_tpu.recipes import swbd
             res = swbd.run(eval_utts_per_speaker=34)
@@ -52,7 +52,7 @@ def main():
             res = swbd.run(eval_utts_per_speaker=34, use_pitch=True)
         elif step == "librispeech":
             from kaldi_cnn_tpu.recipes import librispeech
-            res = librispeech.run()
+            res = librispeech.run(eval_utts=800)
         else:
             raise SystemExit(f"unknown step {step}")
         res = _clean(res)

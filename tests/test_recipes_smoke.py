@@ -118,7 +118,7 @@ def test_rm_dnn_beats_gmm_ledger():
     features beats the GMM-SAT baseline it was seeded from (the
     reference's RESULTS ordering), inside a non-trivial WER band."""
     from kaldi_cnn_tpu.recipes import rm
-    res = rm.run(eval_utts=800)
+    res = rm.run(eval_utts=900)
     assert res["words"] >= 1000
     assert 0.0 < res["wer"] < 25.0, res
     assert res["wer"] < res["gmm_test_wer"], res
