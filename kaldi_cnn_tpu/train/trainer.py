@@ -50,6 +50,11 @@ class TrainConfig:
     # tasks — held-out logprob match to 4 decimals; f32 costs 3 MXU
     # passes), no override elsewhere
     matmul_precision: Optional[str] = None
+    # run this many sequential SGD steps per host dispatch via
+    # Nnet.train_steps (lax.scan — bit-identical math to per-step
+    # calls); over the tunneled chip each dispatch costs ~2.5 ms,
+    # which DOMINATES small-minibatch recipe steps.  1 disables.
+    scan_steps: int = 8
 
 
 def lr_at(cfg: TrainConfig, frac_done: float) -> float:
@@ -222,14 +227,53 @@ def _train_nnet_impl(
         it0 = it
         objfs: List = []
         frame_counts: List[float] = []
-        for x, y, w in batcher.epoch(epoch):
-            lr = lr_at(cfg, it / max(total_iters - 1, 1))
-            key = stage_key(cfg.seed, "train_step", it)
-            params, opt, objf = step(params, opt, x, y, lr, key=key,
-                                     weights=w)
-            objfs.append(objf)
-            frame_counts.append(float(w.sum()))
-            it += 1
+        # default single-chip path: group minibatches and run them as
+        # ONE scanned dispatch (Nnet.train_steps — same math as K
+        # train_step calls; EgsBatcher shapes are static so one jit
+        # serves every group).  Custom step_fns (the sharded mesh
+        # step) keep the per-step loop.
+        k_scan = cfg.scan_steps if step_fn is None else 1
+        pending: List = []
+
+        def flush():
+            nonlocal params, opt, it
+            if not pending:
+                return
+            # partial trailing groups run per-step so the scan jit
+            # compiles exactly one [K, ...] shape per recipe
+            if len(pending) < k_scan or k_scan <= 1:
+                for x, y, w in pending:
+                    lr = lr_at(cfg, it / max(total_iters - 1, 1))
+                    key = stage_key(cfg.seed, "train_step", it)
+                    params, opt, objf = step(params, opt, x, y, lr,
+                                             key=key, weights=w)
+                    objfs.append(objf)
+                    frame_counts.append(float(w.sum()))
+                    it += 1
+            else:
+                k = len(pending)
+                lrs = np.asarray(
+                    [lr_at(cfg, (it + j) / max(total_iters - 1, 1))
+                     for j in range(k)], np.float32)
+                keys = np.stack(
+                    [np.asarray(stage_key(cfg.seed, "train_step",
+                                          it + j), np.uint32)
+                     for j in range(k)])
+                xs = np.stack([p[0] for p in pending])
+                ys = np.stack([p[1] for p in pending])
+                ws = np.stack([p[2] for p in pending])
+                params, opt, objf_k = net.train_steps(
+                    params, opt, xs, ys, lrs, keys=keys, weights=ws)
+                objfs.extend(objf_k[j] for j in range(k))
+                frame_counts.extend(float(w.sum()) for w in ws)
+                it += k
+            pending.clear()
+
+        for batch in batcher.epoch(epoch):
+            pending.append(batch)
+            if len(pending) >= k_scan:
+                flush()
+        flush()
         epoch_objf = sum(float(o) * n
                          for o, n in zip(jax.device_get(objfs),
                                          frame_counts))

@@ -343,3 +343,29 @@ def test_ng_update_period_default_parity(rng):
 
     ref, ours = run(True), run(False)
     assert ours > ref - 0.05, (ref, ours)
+
+
+def test_trainer_scan_steps_matches_per_step(rng):
+    """TrainConfig.scan_steps groups minibatches into ONE scanned
+    dispatch (Nnet.train_steps); the math must equal the per-step loop
+    exactly — same batches, lrs, keys, same final params."""
+    from kaldi_cnn_tpu.train.egs import Egs
+    from kaldi_cnn_tpu.train.trainer import TrainConfig, train_nnet
+
+    x, labels = _toy_data(rng, n=300)
+    egs = Egs(x, labels, np.ones(len(labels), np.float32))
+    valid = Egs(x[:64], labels[:64], np.ones(64, np.float32))
+
+    def run(k):
+        net = _toy_net()
+        params, _ = train_nnet(
+            net, egs, valid,
+            TrainConfig(num_epochs=2, minibatch_size=64, seed=5,
+                        scan_steps=k, combine_num_models=1))
+        return params
+
+    p1, p8 = run(1), run(8)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
