@@ -274,9 +274,11 @@ def _train_nnet_impl(
             if len(pending) >= k_scan:
                 flush()
         flush()
+        # ONE stacked transfer for the epoch's objf scalars (a
+        # device_get per scalar costs a tunnel round-trip each)
+        objf_host = jax.device_get(jnp.stack(objfs)) if objfs else []
         epoch_objf = sum(float(o) * n
-                         for o, n in zip(jax.device_get(objfs),
-                                         frame_counts))
+                         for o, n in zip(objf_host, frame_counts))
         train_prob = epoch_objf / max(sum(frame_counts), 1)
         valid_prob = _valid_objf(net, params, egs_valid, cfg)
         # per-epoch rate: epoch 0 includes the train-step jit compile
@@ -293,7 +295,12 @@ def _train_nnet_impl(
                           train_logprob=train_prob,
                           valid_logprob=valid_prob,
                           audio_seconds_per_sec=audio_ss)
-        history.append(jax.device_get(params))
+        # history stays ON DEVICE: a device_get here moved the whole
+        # model over the tunnel every epoch (~1-2 s at wsj scale, the
+        # dominant epoch cost after the scanned dispatches); the
+        # combine pass consumes device arrays directly and the window
+        # is bounded by combine_num_models
+        history.append(params)
         if len(history) > cfg.combine_num_models:
             history.pop(0)
         if cfg.checkpoint_dir:
