@@ -384,3 +384,40 @@ class AmNnet:
 
     def _predict_jit(self):
         return self._predict_fn
+
+    def loglikes_batch(self, params, feats: "Dict[str, np.ndarray]",
+                       batch_size: int = 4096
+                       ) -> "Dict[str, np.ndarray]":
+        """Pseudo log-likelihoods for a keyed utterance set in ONE
+        padded stream: frames from all utterances concatenate into
+        [total, D] and run through predict in batch_size slices, then
+        split back per utterance.  Versus per-utterance loglikes()
+        calls this cuts both the per-call padding waste (a 230-frame
+        utterance padded to 512) and the host dispatch count (~600
+        round-trips -> ~total/4096) — the decode phases of the ledger
+        recipes were dominated by exactly that loop."""
+        keys = list(feats)
+        if not keys:
+            return {}
+        lens = [int(feats[u].shape[0]) for u in keys]
+        X = np.concatenate([np.asarray(feats[u], np.float32)
+                            for u in keys])
+        T = X.shape[0]
+        padded = -(-T // batch_size) * batch_size
+        if padded != T:
+            X = np.concatenate(
+                [X, np.zeros((padded - T, X.shape[1]), np.float32)])
+        fn = self._predict_fn
+        outs = []
+        for i in range(0, padded, batch_size):
+            outs.append(np.asarray(
+                fn(params, jnp.asarray(X[i:i + batch_size]))))
+        post = np.concatenate(outs)[:T]
+        ll = (np.log(np.maximum(post, 1e-20))
+              - np.log(self.priors)[None, :]).astype(np.float32)
+        out = {}
+        off = 0
+        for u, n in zip(keys, lens):
+            out[u] = ll[off:off + n]
+            off += n
+        return out

@@ -174,9 +174,9 @@ def run(
         # batch sharded over the mesh's data axis (decoder-state
         # parallelism)
         from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
-        lls = {utt: np.asarray(am_nnet.loglikes(
-            params, splice_volume(v, left, right)))
-            for utt, v in vols.items()}
+        lls = am_nnet.loglikes_batch(
+            params, {utt: splice_volume(v, left, right)
+                     for utt, v in vols.items()})
         return decode_utterances(hclg, lls, acoustic_scale=0.1,
                                  beam=60.0, lattice_beam=8.0,
                                  max_active=2000,

@@ -205,11 +205,11 @@ def run(
 
     def nnet_decode(vols, aux):
         from kaldi_cnn_tpu.decode.topk_decoder import decode_utterances
-        lls = {}
+        xs = {}
         for utt, v in vols.items():
             x = splice_volume(v, left, right)
-            x = np.concatenate([x, aux[utt][:x.shape[0]]], axis=1)
-            lls[utt] = np.asarray(am_nnet.loglikes(params, x))
+            xs[utt] = np.concatenate([x, aux[utt][:x.shape[0]]], axis=1)
+        lls = am_nnet.loglikes_batch(params, xs)
         # production path: batched TPU top-K lattice decode
         return decode_utterances(hclg, lls, acoustic_scale=0.1,
                                  beam=60.0, lattice_beam=8.0,

@@ -318,9 +318,10 @@ def run(
                          tid2pdf)
 
     def nnet_decode(vols, am, ps):
-        lls = {utt: np.asarray(am.loglikes(
-            ps, splice_volume(v, left, right)))
-            for utt, v in vols.items()}
+        # one padded stream over all utterances (AmNnet.loglikes_batch)
+        lls = am.loglikes_batch(
+            ps, {utt: splice_volume(v, left, right)
+                 for utt, v in vols.items()})
         if tpu_decode:
             # production path: batched TPU top-K beam search with
             # on-device lattice emission + determinization

@@ -369,3 +369,19 @@ def test_trainer_scan_steps_matches_per_step(rng):
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_loglikes_batch_matches_per_utt(rng):
+    """AmNnet.loglikes_batch (one padded stream over a keyed
+    utterance set) must equal per-utterance loglikes() exactly."""
+    net = _toy_net()
+    params = net.init(jax.random.PRNGKey(0))
+    am = AmNnet(net)
+    am.set_priors_from_counts(np.asarray([10, 20, 30, 40]))
+    feats = {f"u{i}": rng.normal(size=(13 + 7 * i, 10)).astype(np.float32)
+             for i in range(5)}
+    got = am.loglikes_batch(params, feats, batch_size=32)
+    for u, f in feats.items():
+        ref = am.loglikes(params, f, batch_size=32)
+        np.testing.assert_allclose(got[u], ref, rtol=1e-5, atol=1e-5)
+    assert set(got) == set(feats)
